@@ -1,0 +1,41 @@
+"""snsde — Stable Neural SDEs, rebuilt TPU-native.
+
+A standalone JAX/XLA/Pallas framework with the capabilities of
+yongkyung-oh/Stable-Neural-SDEs (ICLR 2024 Spotlight): stable neural
+stochastic differential equations (Neural SDE / LSDE / LNSDE / GSDE), the
+neural CDE/RDE family, latent SDEs with Girsanov KL, a broad irregular
+time-series model zoo, and the four benchmark harnesses (classification,
+forecasting, interpolation, missingness robustness).
+
+Layering (numerical concern, bottom-up):
+    ops/        splines, Brownian sampling, SDE/ODE/CDE solvers
+    kernels/    Pallas TPU kernels for the hot per-step path
+    nn/         pytree-native module system + layers
+    fields      drift/diffusion vector-field grid
+    models/     model zoo
+    parallel/   device mesh, sharding, collectives ("comm backend")
+    train/      jitted train steps, schedules, metrics, checkpoints
+    data/       dataset pipelines (synthetic fallbacks, no-network safe)
+    harness/    benchmark entry points
+"""
+
+__version__ = "0.1.0"
+
+from . import fields, nn, ops
+from .fields import (
+    MODEL_NAME_GRID,
+    PROPOSAL_METHOD_CONTRACT,
+    DiffusionField,
+    NeuralGSDEFunc,
+    NeuralLNSDEFunc,
+    NeuralLSDEFunc,
+    NeuralSDEFunc,
+)
+from .ops.interp import (
+    CubicPath,
+    LinearPath,
+    hermite_cubic_coeffs,
+    linear_coeffs,
+    natural_cubic_coeffs,
+)
+from .ops.solve import cdeint, odeint, sdeint
