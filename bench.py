@@ -1,0 +1,133 @@
+"""Benchmark: flagship LNSDE training-step throughput on sepsis-shaped data.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: Euler–Maruyama solver steps/sec/chip during *training*
+(forward + backward + Adam), i.e. train_steps_per_sec × solver_steps ×
+batch. This is the reference's hot loop (SURVEY.md §3.1: EM step over ~72
+time points × batch 1024 of tiny MLP evals — the thing lax.scan + XLA
+fusion fixes on TPU).
+
+vs_baseline: ratio against the recorded baseline in BENCH_BASELINE.json
+(the PyTorch reference measurement when available; the first TPU run
+otherwise records itself as provisional baseline 1.0).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 1024
+LENGTH = 72          # sepsis grid (reference datasets/sepsis.py:59)
+CHANNELS = 35        # 34 vitals + time channel
+HIDDEN = 49
+LAYERS = 2
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from snsde.harness.classification import make_sde_model
+    from snsde.nn.core import combine, filter_value_and_grad, partition
+    from snsde.ops.interp import hermite_cubic_coeffs
+    from snsde.train.loop import bce_with_logits, weight_regularization
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+
+    times = np.arange(LENGTH, dtype=np.float32)
+    X = rng.normal(size=(BATCH, LENGTH, CHANNELS - 1)).astype(np.float32)
+    tchan = np.broadcast_to(times[None, :, None], (BATCH, LENGTH, 1))
+    Xa = np.concatenate([tchan, X], axis=-1)
+    coeffs = jnp.asarray(
+        np.asarray(hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(Xa)))
+    )
+    y = jnp.asarray((rng.random(BATCH) < 0.1).astype(np.float32))
+    final_index = jnp.full((BATCH,), LENGTH - 1, jnp.int32)
+
+    model, _ = make_sde_model(
+        key, "neurallnsde", input_channels=CHANNELS, hidden_channels=HIDDEN,
+        hidden_hidden_channels=HIDDEN, num_hidden_layers=LAYERS,
+        output_channels=1,
+    )
+
+    tx = optax.adamw(1e-3, weight_decay=0.01)
+    params, _ = partition(model)
+    opt_state = tx.init(params)
+
+    def loss_fn(m, coeffs, y, key):
+        logits, new_m = m(times, coeffs, final_index, key=key, train=True)
+        loss = bce_with_logits(logits[..., 0], y, pos_weight=10.0)
+        return loss + weight_regularization(m.func), new_m
+
+    vg = filter_value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_step(model, opt_state, coeffs, y, key):
+        (loss, new_m), grads = vg(model, coeffs, y, key)
+        params, rest = partition(new_m)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return combine(optax.apply_updates(params, updates), rest), \
+            opt_state, loss
+
+    keys = [jax.random.fold_in(key, i) for i in range(WARMUP + ITERS)]
+    for i in range(WARMUP):
+        model, opt_state, loss = train_step(model, opt_state, coeffs, y,
+                                            keys[i])
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        model, opt_state, loss = train_step(model, opt_state, coeffs, y,
+                                            keys[WARMUP + i])
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    train_steps_per_sec = ITERS / dt
+    solver_steps = LENGTH - 1  # dt = min Δt = 1 on the hourly grid
+    em_steps_per_sec = train_steps_per_sec * solver_steps * BATCH
+
+    baseline_file = os.path.join(os.path.dirname(__file__),
+                                 "BENCH_BASELINE.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = em_steps_per_sec / base["value"]
+    else:
+        with open(baseline_file, "w") as f:
+            json.dump(
+                {
+                    "metric": "EM solver steps/sec/chip (train, B=1024, L=72,"
+                              " H=49 LNSDE)",
+                    "value": em_steps_per_sec,
+                    "note": "provisional: first TPU run of this framework; "
+                            "replace with PyTorch reference measurement when "
+                            "available",
+                },
+                f,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "EM solver steps/sec/chip (train fwd+bwd+adam, "
+                          "B=1024, L=72, H=49, LNSDE)",
+                "value": round(em_steps_per_sec, 1),
+                "unit": "solver_steps*samples/sec",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Classification harness: model registry + sepsis/speech entry points.
+
+Rebuilds /root/reference/benchmark_classification/{common_sde.py:301-378,
+sepsis-sde.py, speech_commands-sde.py}:
+  * `make_model` registry over the proposed SDE family (staticsde, naivesde,
+    neurallsde, neurallnsde, neuralgsde) plus the `neuralsde_{i}_{j}` string
+    DSL covering the full 7×20 grid
+    (torch-ists/_layer.py:293-304 parses the same names)
+  * Sepsis: static features -> InitialValue network -> z0 (sepsis-sde.py:15-28),
+    pos_weight=10, step_mode='valauc', batch 1024, lr 1e-3
+  * SpeechCommands: 10-class, step_mode='valaccuracy'
+
+Runs on synthetic benchmark-shaped data by default (no network egress);
+`data_fn` can be swapped for real loaders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.common import preprocess_classification
+from ..data.synthetic import synthetic_sepsis, synthetic_speech
+from ..fields import MODEL_NAME_GRID, DiffusionField
+from ..models.neuralsde import NeuralSDE
+from ..nn.core import Module, module, static_field
+from ..nn.layers import Linear
+from ..train.loop import FitResult, TrainConfig, fit_classifier
+
+__all__ = ["make_sde_model", "parse_model_name", "run_sepsis", "run_speech",
+           "InitialValueModel"]
+
+_NEURALSDE_RE = re.compile(r"^neuralsde_(\d+)_(\d+)$")
+
+
+def parse_model_name(name: str) -> Tuple[int, int]:
+    """Resolve a model name to (input_option, noise_option). Supports both
+    the named aliases and the `neuralsde_{i}_{j}` DSL (full 7×20 grid)."""
+    if name in MODEL_NAME_GRID:
+        return MODEL_NAME_GRID[name]
+    m = _NEURALSDE_RE.match(name)
+    if m:
+        i, j = int(m.group(1)), int(m.group(2))
+        if not (0 <= i <= 6 and 0 <= j <= 19):
+            raise ValueError(f"{name}: options out of range (0-6 × 0-19)")
+        return i, j
+    raise ValueError(f"unknown SDE model name {name!r}")
+
+
+def make_sde_model(key, name: str, input_channels: int, hidden_channels: int,
+                   hidden_hidden_channels: int, num_hidden_layers: int,
+                   output_channels: int, initial: bool = True,
+                   method: str = "euler"):
+    """Build (model, reg_subtree_fn) for any grid model name."""
+    io, no = parse_model_name(name)
+    kf, km = jax.random.split(key)
+    field = DiffusionField.create(
+        kf, input_channels, hidden_channels, hidden_hidden_channels,
+        num_hidden_layers, input_option=io, noise_option=no,
+    )
+    model = NeuralSDE.create(
+        km, field, input_channels, hidden_channels, output_channels,
+        initial=initial, method=method,
+    )
+    return model, (lambda m: m.func)
+
+
+@module
+class InitialValueModel(Module):
+    """Static-feature encoder -> z0, then NeuralSDE (reference
+    sepsis-sde.py:15-28 InitialValueNetwork)."""
+
+    linear1: Linear
+    linear2: Linear
+    sde: NeuralSDE
+
+    @staticmethod
+    def create(key, static_dim: int, hidden_channels: int, sde: NeuralSDE):
+        k1, k2 = jax.random.split(key)
+        return InitialValueModel(
+            linear1=Linear.create(k1, static_dim, 256),
+            linear2=Linear.create(k2, 256, hidden_channels),
+            sde=sde,
+        )
+
+    def __call__(self, times, coeffs, static, final_index, *, key,
+                 train: bool = False, **kw):
+        z0 = self.linear2(jax.nn.relu(self.linear1(static)))
+        out, new_sde = self.sde(times, coeffs, final_index, key=key, z0=z0,
+                                train=train, **kw)
+        return out, self.replace(sde=new_sde)
+
+
+@dataclass
+class HarnessConfig:
+    model_name: str = "neurallnsde"
+    hidden_channels: int = 49
+    hidden_hidden_channels: int = 49
+    num_hidden_layers: int = 2
+    lr: float = 1e-3
+    batch_size: int = 1024
+    max_epochs: int = 200
+    use_intensity: bool = True
+    method: str = "euler"
+    seed: int = 0
+    results_dir: Optional[str] = None
+
+
+def _save_results(results_dir: str, name: str, result: FitResult, extra=None):
+    os.makedirs(os.path.join(results_dir, name), exist_ok=True)
+    nums = [
+        int(f) for f in os.listdir(os.path.join(results_dir, name))
+        if f.isdigit()
+    ]
+    num = max(nums) + 1 if nums else 0
+    payload = {
+        "name": name,
+        "history": result.history,
+        "train_metrics": result.train_metrics.as_dict(),
+        "val_metrics": result.val_metrics.as_dict(),
+        "test_metrics": (
+            result.test_metrics.as_dict() if result.test_metrics else None
+        ),
+        "wall_time": result.wall_time,
+        "steps_per_sec": result.steps_per_sec,
+    }
+    if extra:
+        payload.update(extra)
+    with open(os.path.join(results_dir, name, str(num)), "w") as f:
+        json.dump(payload, f)
+
+
+def run_sepsis(cfg: HarnessConfig = HarnessConfig(), n: int = 4096,
+               data_fn: Callable = synthetic_sepsis,
+               max_epochs: Optional[int] = None) -> FitResult:
+    """Sepsis classification: binary, AUROC-selected, static->z0."""
+    X, static, y, lengths, t = data_fn(n=n, seed=cfg.seed)
+    data = preprocess_classification(
+        X, y, lengths, use_intensity=cfg.use_intensity, seed=cfg.seed,
+        times=np.arange(X.shape[1], dtype=np.float32),
+    )
+    tr, va, te = data["train"], data["val"], data["test"]
+    split_static = {
+        "train": static[_split_indices(y, cfg.seed)[0]],
+        "val": static[_split_indices(y, cfg.seed)[1]],
+        "test": static[_split_indices(y, cfg.seed)[2]],
+    }
+    tr["static"], va["static"], te["static"] = (
+        split_static["train"], split_static["val"], split_static["test"]
+    )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    km, kinit = jax.random.split(key)
+    sde, _ = make_sde_model(
+        km, cfg.model_name, data["input_channels"], cfg.hidden_channels,
+        cfg.hidden_hidden_channels, cfg.num_hidden_layers,
+        output_channels=1, initial=False, method=cfg.method,
+    )
+    model = InitialValueModel.create(kinit, static.shape[-1],
+                                     cfg.hidden_channels, sde)
+    times = data["times"]
+
+    def apply_fn(m, batch, key, train):
+        logits, new_m = m(times, batch["coeffs"], batch["static"],
+                          batch["final_index"], key=key, train=train)
+        return logits[..., 0], new_m
+
+    tc = TrainConfig(
+        lr=cfg.lr, batch_size=cfg.batch_size,
+        max_epochs=max_epochs or cfg.max_epochs, num_classes=2,
+        pos_weight=10.0, step_mode="valauc", seed=cfg.seed,
+    )
+    result = fit_classifier(model, apply_fn, lambda m: m.sde.func, tr, va,
+                            te, tc)
+    if cfg.results_dir:
+        _save_results(cfg.results_dir, f"sepsis-{cfg.model_name}", result)
+    return result
+
+
+def run_speech(cfg: HarnessConfig = HarnessConfig(), n: int = 2048,
+               data_fn: Callable = synthetic_speech,
+               max_epochs: Optional[int] = None) -> FitResult:
+    """Speech Commands classification: 10-class, accuracy-selected."""
+    X, y, lengths, t = data_fn(n=n, seed=cfg.seed)
+    data = preprocess_classification(
+        X, y, lengths, use_intensity=False, seed=cfg.seed,
+        times=np.arange(X.shape[1], dtype=np.float32),
+    )
+    tr, va, te = data["train"], data["val"], data["test"]
+
+    key = jax.random.PRNGKey(cfg.seed)
+    model, reg_fn = make_sde_model(
+        key, cfg.model_name, data["input_channels"], cfg.hidden_channels,
+        cfg.hidden_hidden_channels, cfg.num_hidden_layers,
+        output_channels=10, initial=True, method=cfg.method,
+    )
+    times = data["times"]
+
+    def apply_fn(m, batch, key, train):
+        return m(times, batch["coeffs"], batch["final_index"], key=key,
+                 train=train)
+
+    tc = TrainConfig(
+        lr=cfg.lr, batch_size=cfg.batch_size,
+        max_epochs=max_epochs or cfg.max_epochs, num_classes=10,
+        step_mode="valaccuracy", seed=cfg.seed,
+    )
+    result = fit_classifier(model, apply_fn, reg_fn, tr, va, te, tc)
+    if cfg.results_dir:
+        _save_results(cfg.results_dir, f"speech-{cfg.model_name}", result)
+    return result
+
+
+def _split_indices(y, seed):
+    from ..data.common import stratified_split
+
+    return stratified_split(y, seed=seed)

@@ -14,4 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
