@@ -1,3 +1,11 @@
+from .latent_sde import LatentSDE
+from .neuralcde import (
+    FinalTanh,
+    GRUODEField,
+    NeuralCDE,
+    NeuralCDEStream,
+    SingleHiddenLayer,
+)
 from .neuralsde import (
     NDEModel,
     NeuralSDE,
@@ -6,3 +14,4 @@ from .neuralsde import (
     ReadoutHead,
     resolve_dt,
 )
+from .rnn import GRUD, GRUdt, ODERNN, SeqCNN, SeqRNN, SeqTransformer

@@ -1,0 +1,236 @@
+"""Neural CDE family: vector fields + terminal/stream wrappers.
+
+Rebuilds:
+  * `FinalTanh`, `SingleHiddenLayer`, `GRU_ODE` vector fields
+    (/root/reference/torch-ists/torch_ists/diff_module/NCDE/vector_fields.py)
+  * `NeuralCDE` terminal wrapper
+    (/root/reference/benchmark_classification/models/metamodel.py) and the
+    stream variant (diff_module/NCDE/ncde_model.py:14-170)
+  * control types: hermite/natural cubic (CubicPath), linear, rectilinear
+    (`neuralcde-l/-r/-c/-h`, torch-ists/_layer.py:163-213)
+
+CDE dynamics dz = f(z) dX(t) integrate through ops.solve.cdeint (CDE→ODE
+reduction + fixed-grid RK4 by default, the reference's rk4/step_size
+policy at models/metamodel.py:109-118).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.core import Module, module, static_field
+from ..nn.layers import Linear
+from ..ops.interp import CubicPath, LinearPath
+from ..ops.solve import cdeint
+from .neuralsde import ReadoutHead, resolve_dt
+
+__all__ = ["FinalTanh", "SingleHiddenLayer", "GRUODEField", "NeuralCDE",
+           "NeuralCDEStream"]
+
+
+@module
+class FinalTanh(Module):
+    """z -> relu-MLP -> [H*C] matrix, tanh at the end (the canonical NCDE
+    vector field)."""
+
+    linear_in: Linear
+    linears: Tuple[Linear, ...]
+    linear_out: Linear
+    input_channels: int = static_field(default=1)
+    hidden_channels: int = static_field(default=1)
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, hidden_hidden_channels,
+               num_hidden_layers, dtype=jnp.float32):
+        ks = jax.random.split(key, num_hidden_layers + 2)
+        return FinalTanh(
+            linear_in=Linear.create(ks[0], hidden_channels,
+                                    hidden_hidden_channels, dtype=dtype),
+            linears=tuple(
+                Linear.create(ks[i + 1], hidden_hidden_channels,
+                              hidden_hidden_channels, dtype=dtype)
+                for i in range(num_hidden_layers - 1)
+            ),
+            linear_out=Linear.create(
+                ks[-1], hidden_hidden_channels,
+                input_channels * hidden_channels, dtype=dtype,
+            ),
+            input_channels=input_channels,
+            hidden_channels=hidden_channels,
+        )
+
+    def __call__(self, t, z):
+        h = jax.nn.relu(self.linear_in(z))
+        for lin in self.linears:
+            h = jax.nn.relu(lin(h))
+        out = jnp.tanh(self.linear_out(h))
+        return out.reshape(z.shape[:-1] + (self.hidden_channels,
+                                           self.input_channels))
+
+
+@module
+class SingleHiddenLayer(Module):
+    linear1: Linear
+    linear2: Linear
+    input_channels: int = static_field(default=1)
+    hidden_channels: int = static_field(default=1)
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, hidden_hidden_channels,
+               num_hidden_layers=1, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return SingleHiddenLayer(
+            linear1=Linear.create(k1, hidden_channels,
+                                  hidden_hidden_channels, dtype=dtype),
+            linear2=Linear.create(
+                k2, hidden_hidden_channels,
+                input_channels * hidden_channels, dtype=dtype,
+            ),
+            input_channels=input_channels,
+            hidden_channels=hidden_channels,
+        )
+
+    def __call__(self, t, z):
+        h = jnp.tanh(self.linear1(z))
+        out = jnp.tanh(self.linear2(h))
+        return out.reshape(z.shape[:-1] + (self.hidden_channels,
+                                           self.input_channels))
+
+
+@module
+class GRUODEField(Module):
+    """GRU-ODE vector field: continuous GRU gating producing a [H, C]
+    update matrix via outer structure (gruode baseline,
+    reference diff_module/NCDE/vector_fields.py GRU_ODE)."""
+
+    W_r: Linear
+    W_z: Linear
+    W_h: Linear
+    input_channels: int = static_field(default=1)
+    hidden_channels: int = static_field(default=1)
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, dtype=jnp.float32):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return GRUODEField(
+            W_r=Linear.create(k1, hidden_channels,
+                              input_channels * hidden_channels, dtype=dtype),
+            W_z=Linear.create(k2, hidden_channels,
+                              input_channels * hidden_channels, dtype=dtype),
+            W_h=Linear.create(k3, hidden_channels,
+                              input_channels * hidden_channels, dtype=dtype),
+            input_channels=input_channels,
+            hidden_channels=hidden_channels,
+        )
+
+    def __call__(self, t, z):
+        shape = z.shape[:-1] + (self.hidden_channels, self.input_channels)
+        r = jax.nn.sigmoid(self.W_r(z)).reshape(shape)
+        u = jax.nn.sigmoid(self.W_z(z)).reshape(shape)
+        g = jnp.tanh(r * self.W_h(z).reshape(shape))
+        return (1.0 - u) * (g - z[..., :, None])
+
+
+def _build_path(coeffs, times, control: str):
+    if control in ("cubic", "hermite", "natural"):
+        return CubicPath(coeffs, times)
+    if control == "linear":
+        return LinearPath(times=jnp.asarray(times), values=coeffs)
+    raise ValueError(f"unknown control type {control!r}")
+
+
+@module
+class NeuralCDE(Module):
+    """Terminal-readout Neural CDE (classification twin of NeuralSDE)."""
+
+    func: Module
+    initial_network: Linear
+    readout: ReadoutHead
+    initial: bool = static_field(default=True)
+    method: str = static_field(default="rk4")
+    control: str = static_field(default="cubic")
+
+    @staticmethod
+    def create(key, func, input_channels, hidden_channels, output_channels,
+               initial=True, method="rk4", control="cubic",
+               dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return NeuralCDE(
+            func=func,
+            initial_network=Linear.create(k1, input_channels,
+                                          hidden_channels, dtype=dtype),
+            readout=ReadoutHead.create(k2, hidden_channels, output_channels,
+                                       dtype=dtype),
+            initial=initial,
+            method=method,
+            control=control,
+        )
+
+    def __call__(self, times, coeffs, final_index, *, key=None, z0=None,
+                 stream: bool = False, train: bool = False, dt=None,
+                 method=None):
+        path = _build_path(coeffs, times, self.control)
+        if z0 is None:
+            if not self.initial:
+                raise ValueError("expected z0 (initial=False)")
+            z0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
+        # reference rk4 step policy: step_size = min Δt
+        dt = resolve_dt(times, floor=0.0) if dt is None else dt
+        zs = cdeint(path, self.func, z0, times, dt=dt,
+                    method=method or self.method)         # [L, B, H]
+        if stream:
+            z = jnp.moveaxis(zs, 0, -2)
+        else:
+            idx = jnp.asarray(final_index)
+            z = jnp.take_along_axis(
+                jnp.moveaxis(zs, 0, 1), idx[:, None, None], axis=1
+            )[:, 0]
+        kdrop = key if key is not None else jax.random.PRNGKey(0)
+        pred, readout = self.readout(z, key=kdrop, train=train)
+        return pred, self.replace(readout=readout)
+
+
+@module
+class NeuralCDEStream(Module):
+    """Stream variant: whole trajectory + per-step linear readout
+    (diff_module/NCDE/ncde_model.py)."""
+
+    func: Module
+    initial_network: Linear
+    linear: Linear
+    initial: bool = static_field(default=True)
+    method: str = static_field(default="rk4")
+    control: str = static_field(default="cubic")
+
+    @staticmethod
+    def create(key, func, input_channels, hidden_channels, output_channels,
+               initial=True, method="rk4", control="cubic",
+               dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return NeuralCDEStream(
+            func=func,
+            initial_network=Linear.create(k1, input_channels,
+                                          hidden_channels, dtype=dtype),
+            linear=Linear.create(k2, hidden_channels, output_channels,
+                                 dtype=dtype),
+            initial=initial,
+            method=method,
+            control=control,
+        )
+
+    def __call__(self, times, coeffs, *, dt=None, method=None, **kw):
+        path = _build_path(coeffs, times, self.control)
+        if self.initial:
+            z0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
+        else:
+            B = (path.a if hasattr(path, "a") else path.values).shape[0]
+            z0 = jnp.zeros((B, self.linear.in_features))
+        dt = resolve_dt(times, floor=0.0) if dt is None else dt
+        zs = cdeint(path, self.func, z0, times, dt=dt,
+                    method=method or self.method)
+        z = jnp.moveaxis(zs, 0, 1)
+        return self.linear(z), z

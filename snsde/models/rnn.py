@@ -1,0 +1,380 @@
+"""Discrete-time baselines: observation-gated GRUs (GRU-dt / GRU-D /
+ODE-RNN) and plain sequence models (RNN/LSTM/GRU/BiLSTM/CNN/Transformer).
+
+Rebuilds the reference baselines
+(/root/reference/torch-ists/torch_ists/module/other.py:14-138 — the
+NeuralCDE-repo `_GRU` family — and the discrete models dispatched from
+torch-ists/_layer.py:113-153). The Python loop over time becomes one
+`lax.scan`; the observation-gating (update h only where a channel was
+observed, otherwise accumulate elapsed time) becomes a `jnp.where` mask —
+identical semantics, single compiled program.
+
+Input layout (matching the reference's intensity-augmented stream,
+other.py:52-60): channel 0 = time, channels 1..1+K = cumulative intensity,
+channels 1+K.. = K values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import Module, module, static_field
+from ..nn.layers import GRUCell, Linear, LSTMCell
+from ..ops.interp import CubicPath
+
+__all__ = ["GRUdt", "GRUD", "ODERNN", "SeqRNN", "SeqTransformer", "SeqCNN"]
+
+
+def _values_from_spline(times, coeffs):
+    """Evaluate the control spline on the grid -> [B, L, C] (the reference
+    evaluates the interpolant at every knot, other.py:50-51)."""
+    path = CubicPath(coeffs, times)
+    ts = jnp.asarray(times)
+    vals = jax.vmap(path.evaluate)(ts)       # [L, B, C]
+    return jnp.moveaxis(vals, 0, 1)
+
+
+@module
+class _ObservationGRUBase(Module):
+    gru: GRUCell
+    linear: Linear
+    input_channels: int = static_field(default=3)
+    use_intensity: bool = static_field(default=False)
+
+    def evolve(self, h, time_diff):
+        return h
+
+    def __call__(self, times, coeffs, final_index, *, z0=None,
+                 stream: bool = False, key=None, train: bool = False):
+        times = jnp.asarray(times)
+        X = _values_from_spline(times, coeffs)          # [B, L, C]
+        K = (self.input_channels - 1) // 2
+        # cumulative intensity -> per-step observation indicator
+        intens = X[:, :, 1 : 1 + K]
+        intens = jnp.concatenate(
+            [intens[:, :1], intens[:, 1:] - intens[:, :-1]], axis=1
+        )
+        X = X.at[:, :, 1 : 1 + K].set(intens)
+        # times -> delta times in channel 0
+        dt_chan = jnp.concatenate(
+            [X[:, :1, 0] - times[0], X[:, 1:, 0] - times[:-1][None]], axis=1
+        )
+        X = X.at[:, :, 0].set(dt_chan)
+
+        B = X.shape[0]
+        H = self.gru.hidden_size
+        if z0 is None:
+            z0 = jnp.zeros((B, H), X.dtype)
+
+        time_diffs = jnp.concatenate(
+            [jnp.zeros((1,), times.dtype), times[1:] - times[:-1]]
+        )
+
+        def step(carry, xs):
+            h, dt_acc = carry
+            Xi, tdiff = xs                               # [B, C], scalar
+            h = self.evolve(h, tdiff)
+            observed = jnp.max(Xi[:, 1 : 1 + K], axis=1) > 0.5
+            inp = Xi if self.use_intensity else Xi[:, 1 + K :]
+            # accumulated unobserved time is added to the first input
+            # channel (reference _step, other.py:38-45)
+            inp = jnp.concatenate(
+                [inp[:, :1] + dt_acc[:, None], inp[:, 1:]], axis=-1
+            )
+            new_h = self.gru(inp, h)
+            h = jnp.where(observed[:, None], new_h, h)
+            dt_acc = jnp.where(observed, 0.0, dt_acc + Xi[:, 0])
+            return (h, dt_acc), h
+
+        init = (z0, jnp.zeros((B,), X.dtype))
+        (_, _), hs = jax.lax.scan(
+            step, init, (jnp.moveaxis(X, 1, 0), time_diffs)
+        )
+        out = jnp.moveaxis(hs, 0, 1)                     # [B, L, H]
+        if stream:
+            final = out
+        else:
+            idx = jnp.asarray(final_index)
+            final = jnp.take_along_axis(out, idx[:, None, None],
+                                        axis=1)[:, 0]
+        return self.linear(final), out
+
+
+@module
+class GRUdt(_ObservationGRUBase):
+    """GRU on (Δt, observed values); no evolution between observations
+    (reference GRU_dt)."""
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, output_channels,
+               use_intensity=False, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        K = (input_channels - 1) // 2
+        gru_in = input_channels if use_intensity else K
+        return GRUdt(
+            gru=GRUCell.create(k1, gru_in, hidden_channels, dtype),
+            linear=Linear.create(k2, hidden_channels, output_channels,
+                                 dtype=dtype),
+            input_channels=input_channels,
+            use_intensity=use_intensity,
+        )
+
+
+@module
+class GRUD(_ObservationGRUBase):
+    """GRU-D: exponential hidden-state decay over elapsed time
+    (reference GRU_D, other.py:96-104)."""
+
+    decay: Linear = None
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, output_channels,
+               use_intensity=False, dtype=jnp.float32):
+        k1, k2, k3 = jax.random.split(key, 3)
+        K = (input_channels - 1) // 2
+        gru_in = input_channels if use_intensity else K
+        return GRUD(
+            gru=GRUCell.create(k1, gru_in, hidden_channels, dtype),
+            linear=Linear.create(k2, hidden_channels, output_channels,
+                                 dtype=dtype),
+            decay=Linear.create(k3, 1, hidden_channels, dtype=dtype),
+            input_channels=input_channels,
+            use_intensity=use_intensity,
+        )
+
+    def evolve(self, h, time_diff):
+        rate = jax.nn.relu(self.decay(jnp.reshape(time_diff, (1,))))
+        return h * jnp.exp(-rate)
+
+
+@module
+class ODERNN(_ObservationGRUBase):
+    """ODE-RNN: hidden state evolves by an MLP ODE (euler, one step per
+    interval — the reference integrates with euler over [0, Δt],
+    other.py:121-138)."""
+
+    f_layers: Tuple[Linear, ...] = ()
+    ode_steps: int = static_field(default=1)
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, output_channels,
+               hidden_hidden_channels=None, num_hidden_layers=1,
+               use_intensity=False, ode_steps: int = 1, dtype=jnp.float32):
+        hh = hidden_hidden_channels or hidden_channels
+        ks = jax.random.split(key, num_hidden_layers + 4)
+        K = (input_channels - 1) // 2
+        gru_in = input_channels if use_intensity else K
+        layers = [Linear.create(ks[0], hidden_channels, hh, dtype=dtype)]
+        for i in range(num_hidden_layers - 1):
+            layers.append(Linear.create(ks[i + 1], hh, hh, dtype=dtype))
+        layers.append(Linear.create(ks[num_hidden_layers], hh,
+                                    hidden_channels, dtype=dtype))
+        return ODERNN(
+            gru=GRUCell.create(ks[-2], gru_in, hidden_channels, dtype),
+            linear=Linear.create(ks[-1], hidden_channels, output_channels,
+                                 dtype=dtype),
+            f_layers=tuple(layers),
+            input_channels=input_channels,
+            use_intensity=use_intensity,
+            ode_steps=1,
+        )
+
+    def _func(self, h):
+        x = h
+        for lin in self.f_layers[:-1]:
+            x = jnp.tanh(lin(x))
+        return self.f_layers[-1](x)
+
+    def evolve(self, h, time_diff):
+        # fixed euler steps over the interval
+        dt = time_diff / self.ode_steps
+        for _ in range(self.ode_steps):
+            h = h + dt * self._func(h)
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Plain sequence baselines (torch-ists registry: rnn/lstm/gru/bilstm/cnn/
+# transformer over [B, L, D] value streams, _layer.py:113-153)
+# ---------------------------------------------------------------------------
+
+
+@module
+class SeqRNN(Module):
+    """Vanilla RNN/GRU/LSTM (+ optional bidirectional) over a value stream;
+    returns (per-step readout, stream)."""
+
+    cell: Module
+    cell_bwd: Optional[Module]
+    embed: Linear
+    linear: Linear
+    kind: str = static_field(default="gru")
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, output_channels,
+               kind: str = "gru", bidirectional: bool = False,
+               dtype=jnp.float32):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        mk = {"gru": GRUCell.create, "lstm": LSTMCell.create,
+              "rnn": GRUCell.create}[kind]
+        cell = mk(k1, hidden_channels, hidden_channels, dtype)
+        cell_bwd = (
+            mk(k4, hidden_channels, hidden_channels, dtype)
+            if bidirectional
+            else None
+        )
+        out_mult = 2 if bidirectional else 1
+        return SeqRNN(
+            cell=cell,
+            cell_bwd=cell_bwd,
+            embed=Linear.create(k2, input_channels, hidden_channels,
+                                dtype=dtype),
+            linear=Linear.create(k3, hidden_channels * out_mult,
+                                 output_channels, dtype=dtype),
+            kind=kind,
+        )
+
+    def _run(self, cell, xs, B, H, reverse=False):
+        if isinstance(cell, LSTMCell):
+            init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+
+            def step(carry, x):
+                h, carry = cell(x, carry)
+                return carry, h
+        else:
+            init = jnp.zeros((B, H))
+
+            def step(h, x):
+                h2 = cell(x, h)
+                return h2, h2
+
+        _, hs = jax.lax.scan(step, init, xs, reverse=reverse)
+        return hs
+
+    def __call__(self, x, *, key=None, train: bool = False):
+        """x: [B, L, D] value stream -> (out [B, L, out], stream)."""
+        e = self.embed(x)
+        xs = jnp.moveaxis(e, 1, 0)
+        B, H = e.shape[0], self.cell.hidden_size if hasattr(
+            self.cell, "hidden_size") else self.embed.out_features
+        hs = self._run(self.cell, xs, B, H)
+        if self.cell_bwd is not None:
+            hs_b = self._run(self.cell_bwd, xs, B, H, reverse=True)
+            hs = jnp.concatenate([hs, hs_b], axis=-1)
+        stream = jnp.moveaxis(hs, 0, 1)
+        return self.linear(stream), stream
+
+
+@module
+class SeqCNN(Module):
+    """1-D conv stack over the time axis (reference cnn{-3,-5,-7})."""
+
+    kernels: Tuple[jnp.ndarray, ...]
+    biases: Tuple[jnp.ndarray, ...]
+    linear: Linear
+    kernel_size: int = static_field(default=3)
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, output_channels,
+               kernel_size: int = 3, depth: int = 2, dtype=jnp.float32):
+        ks = jax.random.split(key, depth + 1)
+        kernels, biases = [], []
+        c_in = input_channels
+        for i in range(depth):
+            fan_in = c_in * kernel_size
+            k = 1.0 / jnp.sqrt(fan_in)
+            kernels.append(jax.random.uniform(
+                ks[i], (kernel_size, c_in, hidden_channels), dtype, -k, k))
+            biases.append(jnp.zeros((hidden_channels,), dtype))
+            c_in = hidden_channels
+        return SeqCNN(
+            kernels=tuple(kernels),
+            biases=tuple(biases),
+            linear=Linear.create(ks[-1], hidden_channels, output_channels,
+                                 dtype=dtype),
+            kernel_size=kernel_size,
+        )
+
+    def __call__(self, x, *, key=None, train: bool = False):
+        h = x  # [B, L, C]
+        for kern, b in zip(self.kernels, self.biases):
+            h = jax.lax.conv_general_dilated(
+                h, kern, window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b
+            h = jax.nn.relu(h)
+        return self.linear(h), h
+
+
+@module
+class SeqTransformer(Module):
+    """Encoder-only transformer with sinusoidal positions (reference
+    `transformer` baseline, _layer.py:53-73 PositionalEncoding + torch
+    TransformerEncoder)."""
+
+    embed: Linear
+    wq: Tuple[Linear, ...]
+    wk: Tuple[Linear, ...]
+    wv: Tuple[Linear, ...]
+    wo: Tuple[Linear, ...]
+    ff1: Tuple[Linear, ...]
+    ff2: Tuple[Linear, ...]
+    linear: Linear
+    num_heads: int = static_field(default=4)
+    num_layers: int = static_field(default=2)
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, output_channels,
+               num_heads: int = 4, num_layers: int = 2, dtype=jnp.float32):
+        n = num_layers
+        ks = jax.random.split(key, 6 * n + 2)
+        mk = lambda i, a, b: Linear.create(ks[i], a, b, dtype=dtype)
+        H = hidden_channels
+        return SeqTransformer(
+            embed=mk(0, input_channels, H),
+            wq=tuple(mk(1 + 6 * i, H, H) for i in range(n)),
+            wk=tuple(mk(2 + 6 * i, H, H) for i in range(n)),
+            wv=tuple(mk(3 + 6 * i, H, H) for i in range(n)),
+            wo=tuple(mk(4 + 6 * i, H, H) for i in range(n)),
+            ff1=tuple(mk(5 + 6 * i, H, 4 * H) for i in range(n)),
+            ff2=tuple(mk(6 + 6 * i, 4 * H, H) for i in range(n)),
+            linear=mk(6 * n + 1, H, output_channels),
+            num_heads=num_heads,
+            num_layers=num_layers,
+        )
+
+    @staticmethod
+    def _positions(L, H, dtype):
+        pos = jnp.arange(L, dtype=dtype)[:, None]
+        i = jnp.arange(0, H, 2, dtype=dtype)[None, :]
+        angle = pos / jnp.power(10000.0, i / H)
+        pe = jnp.zeros((L, H), dtype)
+        pe = pe.at[:, 0::2].set(jnp.sin(angle))
+        pe = pe.at[:, 1::2].set(jnp.cos(angle[:, : (H + 1) // 2]))
+        return pe
+
+    def _norm(self, x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5)
+
+    def __call__(self, x, *, key=None, train: bool = False):
+        h = self.embed(x)                          # [B, L, H]
+        B, L, H = h.shape
+        h = h + self._positions(L, H, h.dtype)
+        nh = self.num_heads
+        hd = H // nh
+        for li in range(self.num_layers):
+            q = self.wq[li](h).reshape(B, L, nh, hd)
+            k = self.wk[li](h).reshape(B, L, nh, hd)
+            v = self.wv[li](h).reshape(B, L, nh, hd)
+            att = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(hd)
+            att = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bhlm,bmhd->blhd", att, v).reshape(B, L, H)
+            h = self._norm(h + self.wo[li](o))
+            ff = self.ff2[li](jax.nn.relu(self.ff1[li](h)))
+            h = self._norm(h + ff)
+        return self.linear(h), h
