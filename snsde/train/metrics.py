@@ -109,10 +109,15 @@ def classification_metrics(y_true, logits, loss: float,
     the reference). Multiclass: logits [N, C] (argmax)."""
     y_true = np.asarray(y_true)
     logits = np.asarray(logits)
-    if num_classes == 2:
+    if num_classes == 2 and (logits.ndim == 1 or logits.shape[-1] == 1):
+        # single-logit binary head (reference classification harness)
+        logits = logits.reshape(-1)
         pred = (logits > 0).astype(np.int64)
     else:
+        # softmax head (torch-ists style, incl. 2-class CE)
         pred = np.argmax(logits, axis=-1)
+        if num_classes == 2:
+            logits = logits[..., 1] - logits[..., 0]  # score for AUROC/AP
     cm = confusion_matrix(y_true, pred, num_classes)
     acc = float((pred.ravel() == y_true.ravel()).mean())
     m = ClassificationMetrics(
