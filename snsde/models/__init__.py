@@ -1,4 +1,24 @@
+from .ancde import ANCDE, EXIT, LEAP, NeuralRDE, hard_sigmoid_ste
+from .attn import MIAMLayer, SAnDLayer, dense_interpolation
+from .flows import (
+    CouplingFlowLayer,
+    GRUFlowBlock,
+    NeuralControlledFlow,
+    NeuralFlow,
+    NeuralFlowCDE,
+    NeuralMixture,
+    ResNetFlowLayer,
+    TimeTanh,
+)
 from .latent_sde import LatentSDE
+from .mtan import (
+    DecRNN3,
+    MTANDecoder,
+    MTANEncoder,
+    MultiTimeAttention,
+    TimeEmbedding,
+)
+from .time_rnn import GRUDFull, ODELSTM, PLSTM, TGLSTM, TLSTM
 from .neuralcde import (
     FinalTanh,
     GRUODEField,

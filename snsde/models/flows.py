@@ -27,8 +27,8 @@ from ..nn.layers import Linear
 from ..ops.interp import CubicPath, hermite_cubic_coeffs
 from ..ops.solve import cdeint
 
-__all__ = ["TimeTanh", "CouplingFlow", "ResNetFlow", "GRUFlow",
-           "NeuralFlow", "NeuralFlowCDE", "NeuralMixture",
+__all__ = ["TimeTanh", "CouplingFlowLayer", "ResNetFlowLayer",
+           "GRUFlowBlock", "NeuralFlow", "NeuralFlowCDE", "NeuralMixture",
            "NeuralControlledFlow"]
 
 

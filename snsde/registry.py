@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fields import DiffusionField
+from .models.ancde import ANCDE, EXIT, LEAP, NeuralRDE
+from .models.attn import MIAMLayer, SAnDLayer
 from .models.flows import (
     NeuralControlledFlow,
     NeuralFlow,
@@ -235,6 +237,28 @@ class SeqLayer(Module):
                                  coeffs)
         elif name == "mtan":
             out, hn = self.inner(x, mask, seq_ts, key=key)
+        elif name == "sand":
+            out, hn = self.inner(x, key=key, train=train)
+        elif name == "miam":
+            out, hn = self.inner(x, mask, delta, seq_ts, key=key,
+                                 train=train)
+        elif name in ("ancde", "exit"):
+            out, hn = self.inner(np.linspace(0.0, 1.0, L).astype(np.float32),
+                                 coeffs, key=key)
+        elif name == "leap":
+            out, hn, aux = self.inner(
+                np.linspace(0.0, 1.0, L).astype(np.float32), coeffs, key=key
+            )
+        elif name.startswith("neuralrde"):
+            tcol = jnp.broadcast_to(times[None, :, None], (N, L, 1))
+            vals = jnp.concatenate([tcol, x], axis=-1)
+            out, hn = self.inner(vals,
+                                 np.linspace(0.0, 1.0, L).astype(np.float32),
+                                 key=key)
+            # logsig windows shrink the time axis; re-expand to L by repeat
+            reps = -(-L // out.shape[1])
+            out = jnp.repeat(out, reps, axis=1)[:, :L]
+            hn = jnp.repeat(hn, reps, axis=1)[:, :L]
         elif name in ("latentsde", "latentsde-kl"):
             out, hn, aux = self.inner(coeffs,
                                       np.linspace(0.0, 1.0, L).astype(
@@ -310,6 +334,33 @@ def make_seq_layer(key, model_name: str, input_dim: int, seq_len: int,
                                       num_heads=nh, num_layers=num_layers)
     elif name == "mtan":
         inner = _MTANStream.create(k1, input_dim, hidden_dim, seq_len)
+    elif name == "sand":
+        inner = SAnDLayer.create(k1, input_dim, seq_len, hidden_dim,
+                                 n_layers=num_layers)
+    elif name == "miam":
+        inner = MIAMLayer.create(k1, input_dim, hidden_dim, seq_len,
+                                 n_layers=num_layers)
+    elif name == "ancde":
+        inner = ANCDE.create(k1, coeff_dim, hidden_dim, hidden_dim,
+                             hidden_hidden=hh,
+                             num_hidden_layers=num_hidden_layers,
+                             method=method or "rk4")
+    elif name == "exit":
+        inner = EXIT.create(k1, coeff_dim, hidden_dim, hidden_dim,
+                            hidden_hidden=hh,
+                            num_hidden_layers=num_hidden_layers,
+                            method=method or "rk4")
+    elif name == "leap":
+        inner = LEAP.create(k1, coeff_dim, hidden_dim, hidden_dim,
+                            hidden_hidden=hh,
+                            num_hidden_layers=num_hidden_layers,
+                            method=method or "rk4")
+    elif name.startswith("neuralrde"):
+        depth = int(name.split("-")[1])
+        inner = NeuralRDE.create(k1, coeff_dim, hidden_dim, hidden_dim,
+                                 depth=depth, window=4, hidden_hidden=hh,
+                                 num_hidden_layers=num_hidden_layers,
+                                 method=method or "rk4")
     elif name in ("gru-dt", "gru-d", "ode-rnn"):
         # the observation-GRU family requires the odd [t ‖ K intens ‖ K
         # vals] layout (other.py:18-20 asserts odd input channels); with

@@ -9,10 +9,6 @@ import pytest
 from snsde.ops.interp import hermite_cubic_coeffs
 from snsde.registry import MODEL_NAMES, make_seq_layer
 
-NOT_YET = {"sand", "miam", "ancde", "exit", "leap",
-           "neuralrde-1", "neuralrde-2", "neuralrde-3"}
-
-
 @pytest.fixture(scope="module")
 def data():
     key = jax.random.PRNGKey(0)
@@ -49,6 +45,8 @@ REPRESENTATIVES = [
     "tlstm", "plstm", "tglstm", "transformer", "mtan",
     "gru-dt", "gru-d", "gru-ode", "ode-rnn", "ode-lstm",
     "neuralcde", "neuralcde-l", "neuralcde-r", "neuralcde-h",
+    "sand", "miam", "ancde", "exit", "leap",
+    "neuralrde-1", "neuralrde-2", "neuralrde-3",
     "latentsde", "neuralsde-x", "neuralsde-z",
     "neuralflow_z_c", "neuralflow_y_r", "neuralflow_x_g", "neuralflow_z_n",
     "neuralflowcde_z_c", "neuralmixture_z_r", "neuralcontrolledflow_y_g",
