@@ -21,6 +21,19 @@ Layering (numerical concern, bottom-up):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Default to the hardware counter-based RBG PRNG: ~20x faster Brownian
+# sampling on TPU than threefry with identical reproducibility semantics
+# (stateless, key-derived). Opt out with SNSDE_PRNG=threefry.
+if _os.environ.get("SNSDE_PRNG", "rbg") == "rbg":
+    try:
+        _jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 from . import fields, nn, ops
 from .fields import (
     MODEL_NAME_GRID,

@@ -109,9 +109,14 @@ class NeuralSDE(Module):
         )
 
     def solve(self, times, coeffs, *, key, z0=None, dt=None, method=None,
-              bm=None):
+              bm=None, use_fused: bool = True):
         """Bind control path, build z0, integrate over the full grid.
-        Returns zs [L, B, H]."""
+        Returns zs [L, B, H].
+
+        When the vector field is in the fused-kernel family (LSDE/LNSDE/
+        GSDE configs) and method is euler, dispatches to the Pallas
+        fused-EM kernel (kernels.fused_em) — same math, whole time loop
+        on-chip."""
         path = CubicPath(coeffs, times)
         func = self.func.bind(path)
         if z0 is None:
@@ -120,6 +125,11 @@ class NeuralSDE(Module):
             z0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
         dt = resolve_dt(times) if dt is None else dt
         method = method or self.method
+        if use_fused and bm is None and method == "euler":
+            from ..kernels.fused_em import fused_em_solve, supports_fused
+
+            if supports_fused(func) and jax.default_backend() == "tpu":
+                return fused_em_solve(func, path, times, z0, key, dt=dt)
         return sdeint(func.f, func.g, z0, times, key=key, dt=dt,
                       method=method, bm=bm)
 

@@ -436,7 +436,12 @@ class CubicPath:
             a, b, two_c, three_d = coeffs
         else:
             a, b, two_c, three_d = unpack_coeffs(jnp.asarray(coeffs))
-        object.__setattr__(self, "times", jnp.asarray(times))
+        # keep host-provided knot times as numpy: solver grids are static,
+        # and jnp.asarray inside a jit trace would lift them into tracers,
+        # defeating evaluate_grid's host-side bucket resolution
+        if not isinstance(times, np.ndarray):
+            times = jnp.asarray(times)
+        object.__setattr__(self, "times", times)
         object.__setattr__(self, "a", a)
         object.__setattr__(self, "b", b)
         object.__setattr__(self, "two_c", two_c)
@@ -462,9 +467,10 @@ class CubicPath:
 
     def _interp(self, t):
         t = jnp.asarray(t)
-        idx = jnp.searchsorted(self.times, t, side="left") - 1
+        times = jnp.asarray(self.times)
+        idx = jnp.searchsorted(times, t, side="left") - 1
         idx = jnp.clip(idx, 0, self.a.shape[-2] - 1)
-        frac = t - self.times[idx]
+        frac = t - times[idx]
         return frac, idx
 
     def _gather(self, coeff, idx):
@@ -484,6 +490,40 @@ class CubicPath:
         inner = 0.5 * two_c + three_d * frac / 3.0
         inner = b + inner * frac
         return a + inner * frac
+
+    def evaluate_grid(self, ts_concrete):
+        """Evaluate at a CONCRETE grid of times [M] -> [M, ..., C].
+
+        Bucket indices are resolved host-side (numpy searchsorted), so the
+        device program is a single static take + fused Horner FMA — the
+        fast path for solver-grid precomputation (no per-point dynamic
+        gather chain)."""
+        ts = np.asarray(jax.device_get(ts_concrete), np.float64)
+        try:
+            times_np = np.asarray(jax.device_get(self.times), np.float64)
+        except Exception:
+            # knot times were traced (constant-lifted under jit): fall back
+            # to the dynamic-gather path
+            return jax.vmap(self.evaluate)(
+                jnp.asarray(ts, self.a.dtype)
+            )
+        idx = np.clip(
+            np.searchsorted(times_np, ts, side="left") - 1,
+            0, self.a.shape[-2] - 1,
+        )
+        frac = jnp.asarray(
+            (ts - times_np[idx]).astype(np.float32)
+        ).reshape((-1,) + (1,) * self.a.ndim)        # [M, 1.., 1]
+        take = lambda c: jnp.take(c, jnp.asarray(idx), axis=-2)
+        # take moves the selected axis content but keeps position: result
+        # [..., M, C]; move M to front
+        a = jnp.moveaxis(take(self.a), -2, 0)
+        b = jnp.moveaxis(take(self.b), -2, 0)
+        two_c = jnp.moveaxis(take(self.two_c), -2, 0)
+        three_d = jnp.moveaxis(take(self.three_d), -2, 0)
+        frac = frac.reshape((len(idx),) + (1,) * (a.ndim - 1))
+        inner = 0.5 * two_c + three_d * frac / 3.0
+        return a + (b + inner * frac) * frac
 
     def derivative(self, t):
         frac, idx = self._interp(t)
@@ -513,9 +553,10 @@ class LinearPath:
 
     def _interp(self, t):
         t = jnp.asarray(t)
-        idx = jnp.searchsorted(self.times, t, side="left") - 1
+        times = jnp.asarray(self.times)
+        idx = jnp.searchsorted(times, t, side="left") - 1
         idx = jnp.clip(idx, 0, self.values.shape[-2] - 2)
-        return t - self.times[idx], idx
+        return t - times[idx], idx
 
     def evaluate(self, t):
         frac, idx = self._interp(t)
@@ -525,7 +566,8 @@ class LinearPath:
             if idx.ndim
             else self.values[..., idx + 1, :]
         )
-        h = self.times[idx + 1] - self.times[idx]
+        times = jnp.asarray(self.times)
+        h = times[idx + 1] - times[idx]
         w = frac / h
         if jnp.ndim(w):
             w = w[..., None]
@@ -539,6 +581,7 @@ class LinearPath:
             if idx.ndim
             else self.values[..., idx + 1, :]
         )
-        h = self.times[idx + 1] - self.times[idx]
+        times = jnp.asarray(self.times)
+        h = times[idx + 1] - times[idx]
         d = (x1 - x0) / (h[..., None] if jnp.ndim(h) else h)
         return d
