@@ -15,3 +15,5 @@ from .synthetic import (
     synthetic_speech,
     synthetic_uea,
 )
+from . import mujoco, person_activity, physionet2012, sepsis, speech_commands, uea
+from .native import get_lib as native_lib

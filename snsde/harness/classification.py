@@ -34,8 +34,8 @@ from ..nn.core import Module, module, static_field
 from ..nn.layers import Linear
 from ..train.loop import FitResult, TrainConfig, fit_classifier
 
-__all__ = ["make_sde_model", "parse_model_name", "run_sepsis", "run_speech",
-           "InitialValueModel"]
+__all__ = ["make_model", "make_sde_model", "parse_model_name", "run_sepsis",
+           "run_speech", "InitialValueModel"]
 
 _NEURALSDE_RE = re.compile(r"^neuralsde_(\d+)_(\d+)$")
 
@@ -52,6 +52,52 @@ def parse_model_name(name: str) -> Tuple[int, int]:
             raise ValueError(f"{name}: options out of range (0-6 × 0-19)")
         return i, j
     raise ValueError(f"unknown SDE model name {name!r}")
+
+
+def make_model(key, name: str, input_channels: int, hidden_channels: int,
+               hidden_hidden_channels: int, num_hidden_layers: int,
+               output_channels: int, use_intensity: bool = False,
+               initial: bool = True, method: str = "euler"):
+    """Full classification make_model registry: the SDE grid plus the
+    baseline twins (ncde, gruode, dt, decay, odernn) — reference
+    common_sde.py:301-378 and common.py's non-SDE registry."""
+    if name == "ncde":
+        from ..models.neuralcde import FinalTanh, NeuralCDE
+
+        k1, k2 = jax.random.split(key)
+        field = FinalTanh.create(k1, input_channels, hidden_channels,
+                                 hidden_hidden_channels, num_hidden_layers)
+        model = NeuralCDE.create(k2, field, input_channels, hidden_channels,
+                                 output_channels, initial=initial)
+        return model, (lambda m: m.func)
+    if name == "gruode":
+        from ..models.neuralcde import GRUODEField, NeuralCDE
+
+        k1, k2 = jax.random.split(key)
+        field = GRUODEField.create(k1, input_channels, hidden_channels)
+        model = NeuralCDE.create(k2, field, input_channels, hidden_channels,
+                                 output_channels, initial=initial)
+        return model, (lambda m: m.func)
+    if name in ("dt", "decay", "odernn"):
+        from ..models.rnn import GRUD as GRUDecay, GRUdt, ODERNN
+
+        ic = input_channels if input_channels % 2 == 1 else \
+            input_channels - 1
+        if name == "dt":
+            model = GRUdt.create(key, ic, hidden_channels, output_channels,
+                                 use_intensity=use_intensity)
+        elif name == "decay":
+            model = GRUDecay.create(key, ic, hidden_channels,
+                                    output_channels,
+                                    use_intensity=use_intensity)
+        else:
+            model = ODERNN.create(key, ic, hidden_channels, output_channels,
+                                  hidden_hidden_channels, num_hidden_layers,
+                                  use_intensity=use_intensity)
+        return model, (lambda m: m)
+    return make_sde_model(key, name, input_channels, hidden_channels,
+                          hidden_hidden_channels, num_hidden_layers,
+                          output_channels, initial=initial, method=method)
 
 
 def make_sde_model(key, name: str, input_channels: int, hidden_channels: int,

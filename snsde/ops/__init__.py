@@ -1,5 +1,12 @@
 from .brownian import BrownianGrid, brownian_increments, space_time_levy_area
 from .dopri import odeint_dopri5
+from .extra_solvers import (
+    odeint_ode23s,
+    odeint_rk12,
+    odeint_rk23,
+    odeint_sym12,
+)
+from .logsig import logsig_windows, logsignature_channels, lyndon_words
 from .interp import (
     CubicPath,
     LinearPath,

@@ -329,6 +329,22 @@ def odeint(
         from .dopri import odeint_dopri5
 
         return odeint_dopri5(f, y0, ts)
+    if method == "rk23":
+        from .extra_solvers import odeint_rk23
+
+        return odeint_rk23(f, y0, ts)
+    if method == "rk12":
+        from .extra_solvers import odeint_rk12
+
+        return odeint_rk12(f, y0, ts)
+    if method == "ode23s":
+        from .extra_solvers import odeint_ode23s
+
+        return odeint_ode23s(f, y0, ts, dt=dt)
+    if method in ("sym12", "sym12async"):
+        from .extra_solvers import odeint_sym12
+
+        return odeint_sym12(f, y0, ts, dt=dt)
     if method not in _ODE_STEPPERS:
         raise ValueError(f"unknown ODE method {method!r}")
     stepper = _ODE_STEPPERS[method]
