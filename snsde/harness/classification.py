@@ -81,8 +81,14 @@ def make_model(key, name: str, input_channels: int, hidden_channels: int,
     if name in ("dt", "decay", "odernn"):
         from ..models.rnn import GRUD as GRUDecay, GRUdt, ODERNN
 
-        ic = input_channels if input_channels % 2 == 1 else \
-            input_channels - 1
+        if input_channels % 2 != 1:
+            raise ValueError(
+                f"{name} requires the intensity-augmented channel layout "
+                f"[time ‖ K intensity ‖ K values] (odd channel count; got "
+                f"{input_channels}) — preprocess with use_intensity=True "
+                f"(reference other.py:18-20 asserts the same)"
+            )
+        ic = input_channels
         if name == "dt":
             model = GRUdt.create(key, ic, hidden_channels, output_channels,
                                  use_intensity=use_intensity)

@@ -148,6 +148,17 @@ def fit_classifier(
     cfg = config
     nc = cfg.num_classes
 
+    if mesh is not None:
+        from ..parallel.mesh import replicate as _replicate, shard_batch
+
+        def _to_device(batch):
+            return shard_batch(batch, mesh)
+    else:
+        _replicate = None
+
+        def _to_device(batch):
+            return batch
+
     base_loss = (
         (lambda lo, y: bce_with_logits(lo, y, cfg.pos_weight))
         if nc == 2
@@ -174,6 +185,8 @@ def fit_classifier(
         )
     )(learning_rate=cfg.lr)
 
+    if mesh is not None:
+        model = _replicate(model, mesh)
     params0, _ = partition(model)
     opt_state = tx.init(params0)
     vg = filter_value_and_grad(loss_fn, has_aux=True)
@@ -198,7 +211,8 @@ def fit_classifier(
         for i, (batch, n_valid) in enumerate(
             iterate_batches(data, ebs, rng=None)
         ):
-            logits, loss = eval_step(m, batch, jax.random.fold_in(key, i))
+            logits, loss = eval_step(m, _to_device(batch),
+                                     jax.random.fold_in(key, i))
             logits_all.append(np.asarray(logits)[:n_valid])
             ys.append(np.asarray(batch["y"])[:n_valid])
             losses.append(float(loss) * n_valid)
@@ -235,7 +249,7 @@ def fit_classifier(
         for batch, _ in iterate_batches(train_data, cfg.batch_size, rng=rng):
             key, sub = jax.random.split(key)
             model, opt_state, loss = train_step(
-                model, opt_state, batch, sub, jnp.asarray(lr)
+                model, opt_state, _to_device(batch), sub, jnp.asarray(lr)
             )
             n_steps += 1
 
