@@ -182,6 +182,8 @@ def _save_results(results_dir: str, name: str, result: FitResult, extra=None):
         ),
         "wall_time": result.wall_time,
         "steps_per_sec": result.steps_per_sec,
+        "memory_usage": result.memory_usage,
+        "parameters": result.parameters,
     }
     if extra:
         payload.update(extra)

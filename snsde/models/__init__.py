@@ -13,6 +13,8 @@ from .flows import (
 from .latent_sde import LatentSDE
 from .mtan import (
     DecRNN3,
+    LatentClassifier,
+    MTANClassifier,
     MTANDecoder,
     MTANEncoder,
     MultiTimeAttention,

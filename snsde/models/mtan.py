@@ -29,7 +29,7 @@ from ..nn.core import Module, module, static_field
 from ..nn.layers import GRUCell, Linear
 
 __all__ = ["TimeEmbedding", "MultiTimeAttention", "MTANEncoder",
-           "MTANDecoder", "DecRNN3"]
+           "MTANDecoder", "DecRNN3", "MTANClassifier", "LatentClassifier"]
 
 
 @module
@@ -266,3 +266,94 @@ class DecRNN3(Module):
         idx = jnp.clip(idx, 0, self.query.shape[0] - 1)   # [B, L]
         gathered = jnp.take_along_axis(out, idx[..., None], axis=1)
         return self.out2(jax.nn.relu(self.out1(gathered)))
+
+
+@module
+class MTANClassifier(Module):
+    """enc_mtan_classif: attention over a learned ref grid -> GRU -> 300-300
+    MLP head (reference mTAN_models.py:186-246)."""
+
+    time_emb: TimeEmbedding
+    att: MultiTimeAttention
+    gru: GRUCell
+    fc1: Linear
+    fc2: Linear
+    fc3: Linear
+    query: jnp.ndarray
+    input_dim: int = static_field(default=1)
+
+    @staticmethod
+    def create(key, input_dim: int, query, nhidden: int = 16,
+               embed_time: int = 16, num_heads: int = 1,
+               num_classes: int = 2, learn_emb: bool = True,
+               freq: float = 10.0, dtype=jnp.float32):
+        ks = jax.random.split(key, 6)
+        return MTANClassifier(
+            time_emb=TimeEmbedding.create(ks[0], embed_time, learn_emb,
+                                          freq),
+            att=MultiTimeAttention.create(ks[1], 2 * input_dim, nhidden,
+                                          embed_time, num_heads, dtype),
+            gru=GRUCell.create(ks[2], nhidden, nhidden, dtype),
+            fc1=Linear.create(ks[3], nhidden, 300, dtype=dtype),
+            fc2=Linear.create(ks[4], 300, 300, dtype=dtype),
+            fc3=Linear.create(ks[5], 300, num_classes, dtype=dtype),
+            query=jnp.asarray(query),
+            input_dim=input_dim,
+        )
+
+    def __call__(self, x, time_steps):
+        """x [B, L, 2D] (values ‖ mask), time_steps [B, L] -> logits."""
+        D = self.input_dim
+        mask = jnp.concatenate([x[:, :, D:], x[:, :, D:]], axis=2)
+        key_emb = self.time_emb(time_steps)
+        query_emb = self.time_emb(self.query)
+        out = self.att(query_emb, key_emb, x, mask)      # [B, Lq, nh]
+        B = out.shape[0]
+        H = self.gru.hidden_size
+
+        def step(h, xt):
+            h2 = self.gru(xt, h)
+            return h2, h2
+
+        h_final, _ = jax.lax.scan(step, jnp.zeros((B, H), out.dtype),
+                                  jnp.moveaxis(out, 1, 0))
+        h = jax.nn.relu(self.fc1(h_final))
+        h = jax.nn.relu(self.fc2(h))
+        return self.fc3(h)
+
+
+@module
+class LatentClassifier(Module):
+    """create_classifier: GRU over the latent grid -> 300-300 MLP
+    (reference mTAN_models.py:15-29)."""
+
+    gru: GRUCell
+    fc1: Linear
+    fc2: Linear
+    fc3: Linear
+
+    @staticmethod
+    def create(key, latent_dim: int, nhidden: int = 16,
+               num_classes: int = 2, dtype=jnp.float32):
+        ks = jax.random.split(key, 4)
+        return LatentClassifier(
+            gru=GRUCell.create(ks[0], latent_dim, nhidden, dtype),
+            fc1=Linear.create(ks[1], nhidden, 300, dtype=dtype),
+            fc2=Linear.create(ks[2], 300, 300, dtype=dtype),
+            fc3=Linear.create(ks[3], 300, num_classes, dtype=dtype),
+        )
+
+    def __call__(self, z):
+        """z [B, L, latent] -> logits [B, num_classes]."""
+        B = z.shape[0]
+        H = self.gru.hidden_size
+
+        def step(h, xt):
+            h2 = self.gru(xt, h)
+            return h2, h2
+
+        h_final, _ = jax.lax.scan(step, jnp.zeros((B, H), z.dtype),
+                                  jnp.moveaxis(z, 1, 0))
+        h = jax.nn.relu(self.fc1(h_final))
+        h = jax.nn.relu(self.fc2(h))
+        return self.fc3(h)

@@ -191,7 +191,42 @@ _SDE_STEPPERS = {
     "srk": _step_srk,
 }
 
-SOLVER_ORDERS = {"euler": 0.5, "milstein": 1.0, "heun": 0.5, "srk": 1.5}
+SOLVER_ORDERS = {"euler": 0.5, "milstein": 1.0, "heun": 0.5, "srk": 1.5,
+                 "reversible_heun": 0.5}
+
+
+def _sdeint_reversible_heun(f, g, y0, grid, dW, out_idx, remat):
+    """Algebraically reversible Heun (Kidger et al. 2021, 'Efficient and
+    Accurate Gradients for Neural SDEs', arXiv:2105.13493; torchsde's
+    method='reversible_heun'). Carries the (y, ŷ) pair:
+        ŷ_{n+1} = 2 y_n − ŷ_n + f(t_n, ŷ_n) h + g(t_n, ŷ_n) ΔW
+        y_{n+1} = y_n + ½(f(t_n, ŷ_n) + f(t_{n+1}, ŷ_{n+1})) h
+                       + ½(g(t_n, ŷ_n) + g(t_{n+1}, ŷ_{n+1})) ΔW
+    Stratonovich, strong order 0.5; the algebraic reversibility is what
+    makes the O(1)-memory exact adjoint possible (here we rely on
+    remat'd scan AD, which is already exact for discretize-then-optimize).
+    """
+    dtype = jnp.result_type(y0)
+    t_lo = jnp.asarray(grid[:-1], dtype)
+    dts = jnp.asarray(np.diff(grid), dtype)
+
+    def step(carry, xs):
+        y, yh = carry
+        t0, h, dw = xs
+        f0 = f(t0, yh)
+        g0 = g(t0, yh)
+        yh_new = 2.0 * y - yh + f0 * h + g0 * dw
+        f1 = f(t0 + h, yh_new)
+        g1 = g(t0 + h, yh_new)
+        y_new = y + 0.5 * (f0 + f1) * h + 0.5 * (g0 + g1) * dw
+        return (y_new, yh_new), y_new
+
+    if remat:
+        step = jax.checkpoint(step)
+    y0 = jnp.asarray(y0, dtype)
+    (_, _), ys_tail = jax.lax.scan(step, (y0, y0), (t_lo, dts, dW))
+    ys = jnp.concatenate([y0[None], ys_tail], axis=0)
+    return ys[jnp.asarray(out_idx)]
 
 _NEEDS_LEVY = {"srk"}
 
@@ -222,9 +257,9 @@ def sdeint(
 
     Returns ys: [T, ...y0.shape] (time-major, torchsde convention).
     """
-    if method not in _SDE_STEPPERS:
+    if method not in _SDE_STEPPERS and method != "reversible_heun":
         raise ValueError(f"unknown SDE method {method!r}")
-    stepper = _SDE_STEPPERS[method]
+    stepper = _SDE_STEPPERS.get(method)
 
     if bm is not None:
         grid = np.asarray(jax.device_get(bm.grid), dtype=np.float64)
@@ -248,6 +283,12 @@ def sdeint(
             if method in _NEEDS_LEVY
             else None
         )
+
+    if method == "reversible_heun":
+        out = _sdeint_reversible_heun(f, g, y0, grid, dW, out_idx, remat)
+        if return_brownian:
+            return out, BrownianGrid(grid=jnp.asarray(grid), dW=dW, U=None)
+        return out
 
     dtype = jnp.result_type(y0)
     t_lo = jnp.asarray(grid[:-1], dtype)

@@ -127,6 +127,8 @@ class FitResult:
     test_metrics: Optional[ClassificationMetrics]
     wall_time: float
     steps_per_sec: float
+    memory_usage: Optional[int] = None      # peak device bytes delta
+    parameters: Optional[int] = None
 
 
 def fit_classifier(
@@ -231,6 +233,12 @@ def fit_classifier(
         patience=cfg.plateau_patience,
     )
 
+    from ..nn.core import tree_count_params
+    from ..utils.observability import memory_delta
+
+    n_params = tree_count_params(model)
+    mem = memory_delta()
+    mem.__enter__()
     key = jax.random.PRNGKey(cfg.seed)
     rng = np.random.default_rng(cfg.seed)
     lr = cfg.lr
@@ -302,6 +310,7 @@ def fit_classifier(
             break
 
     wall = time.time() - t_start
+    mem.__exit__(None, None, None)
     _, rest = partition(model)
     model = combine(best_params, rest)
 
@@ -317,4 +326,6 @@ def fit_classifier(
         test_metrics=test_m,
         wall_time=wall,
         steps_per_sec=n_steps / max(wall, 1e-9),
+        memory_usage=mem.delta,
+        parameters=n_params,
     )

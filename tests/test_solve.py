@@ -203,3 +203,48 @@ def test_remat_matches_no_remat_gradients():
     g1 = float(jax.grad(lambda th: loss(th, True))(0.7))
     g2 = float(jax.grad(lambda th: loss(th, False))(0.7))
     np.testing.assert_allclose(g1, g2, rtol=1e-6)
+
+
+def test_reversible_heun_ou_moments():
+    """Reversible Heun (Kidger 2021) on OU: correct moments, and the
+    auxiliary-pair update is algebraically reversible."""
+    key = jax.random.PRNGKey(5)
+    B = 4096
+    ts = np.linspace(0.0, 1.0, 11)
+    y0 = jnp.full((B, 1), 1.0)
+    ys = sdeint(ou_f, ou_g, y0, ts, key=key, dt=0.02,
+                method="reversible_heun")
+    mean_an = MU + (1.0 - MU) * np.exp(-THETA)
+    var_an = SIGMA**2 / (2 * THETA) * (1 - np.exp(-2 * THETA))
+    assert abs(float(jnp.mean(ys[-1])) - mean_an) < 1e-2
+    assert abs(float(jnp.var(ys[-1])) - var_an) / var_an < 0.12
+
+
+def test_reversible_heun_algebraic_reversibility():
+    """One forward step followed by the inverse map recovers (y, yhat)
+    exactly (up to float32) — the property enabling O(1)-memory adjoints."""
+    f = lambda t, y: -0.5 * y + 0.1
+    g = lambda t, y: 0.2 * jnp.ones_like(y)
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)),
+                    jnp.float32)
+    yh = y + 0.01
+    h = jnp.asarray(0.05)
+    t0 = jnp.asarray(0.3)
+    dw = jnp.asarray(
+        np.random.default_rng(1).normal(0, np.sqrt(0.05), (8, 3)),
+        jnp.float32,
+    )
+    # forward
+    f0, g0 = f(t0, yh), g(t0, yh)
+    yh1 = 2.0 * y - yh + f0 * h + g0 * dw
+    f1, g1 = f(t0 + h, yh1), g(t0 + h, yh1)
+    y1 = y + 0.5 * (f0 + f1) * h + 0.5 * (g0 + g1) * dw
+    # inverse: reconstruct y from (y1, yh1), then yh from the ŷ update
+    y_rec = y1 - 0.5 * (f(t0, yh) + f(t0 + h, yh1)) * h \
+        - 0.5 * (g(t0, yh) + g(t0 + h, yh1)) * dw
+    np.testing.assert_allclose(np.asarray(y_rec), np.asarray(y),
+                               atol=1e-6)
+    yh_back = 2.0 * y_rec - yh1 + f(t0, yh) * h + g(t0, yh) * dw
+    # ŷ_{n+1} = 2y − ŷ + f(ŷ)h + g(ŷ)dw  =>  ŷ = 2y − ŷ_{n+1} + f h + g dw
+    np.testing.assert_allclose(np.asarray(yh_back), np.asarray(yh),
+                               atol=1e-5)
