@@ -25,12 +25,24 @@ LENGTH = 72          # sepsis grid (reference datasets/sepsis.py:59)
 CHANNELS = 35        # 34 vitals + time channel
 HIDDEN = 49
 LAYERS = 2
-WARMUP = 3
-ITERS = 20
+WARMUP = 5
+ITERS = 50
 
 
 def main():
     import jax
+
+    # persistent compilation cache: repeat runs (including the driver's)
+    # skip the multi-minute Mosaic/XLA compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import optax
 

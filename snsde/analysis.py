@@ -57,7 +57,6 @@ def friedman_test(scores: np.ndarray) -> Tuple[float, float]:
         ranks[i] = _scipy_free_rank(scores[i])
     Rj = ranks.mean(axis=0)
     stat = 12 * n / (k * (k + 1)) * np.sum((Rj - (k + 1) / 2) ** 2)
-    from math import exp
 
     return float(stat), float("nan")
 

@@ -19,7 +19,6 @@ import os
 import pickle
 from typing import Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 from ..ops.interp import hermite_cubic_coeffs, natural_cubic_coeffs

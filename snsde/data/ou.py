@@ -4,7 +4,6 @@ samples × 20 steps, T=10, channels = [t, X])."""
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ when available.
 
 from __future__ import annotations
 
-import io
 import os
 import zipfile
 from typing import Optional, Tuple

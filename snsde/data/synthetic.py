@@ -10,7 +10,6 @@ downloads is a data-path swap only.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

@@ -276,3 +276,37 @@ def _split_indices(y, seed):
     from ..data.common import stratified_split
 
     return stratified_split(y, seed=seed)
+
+
+def run_all(task: str = "sepsis", models=("staticsde", "naivesde",
+            "neurallsde", "neurallnsde", "neuralgsde"),
+            hidden_list=(16, 32, 64, 128), layer_list=(1, 2, 3, 4),
+            repeats: int = 1, intensities=(True, False),
+            n: int = 2048, max_epochs: int = 50,
+            results_dir: str = "results-sde"):
+    """The reference's hard-coded experiment grid (sepsis-sde.py:70-83 /
+    speech_commands-sde.py): layers × hidden × models × repeats ×
+    {intensity, no-intensity}. Skip-if-exists resume via the results dir."""
+    runner = run_sepsis if task == "sepsis" else run_speech
+    results = []
+    for use_intensity in intensities:
+        for num_layers in layer_list:
+            for hidden in hidden_list:
+                for model_name in models:
+                    for rep in range(repeats):
+                        name = (f"{task}-{model_name}-h{hidden}-l{num_layers}"
+                                f"-i{int(use_intensity)}")
+                        loc = os.path.join(results_dir, name, str(rep))
+                        if os.path.exists(loc):
+                            continue
+                        cfg = HarnessConfig(
+                            model_name=model_name, hidden_channels=hidden,
+                            hidden_hidden_channels=hidden,
+                            num_hidden_layers=num_layers,
+                            use_intensity=use_intensity, seed=rep,
+                            max_epochs=max_epochs, results_dir=None,
+                        )
+                        res = runner(cfg, n=n)
+                        _save_results(results_dir, name, res)
+                        results.append((name, res.test_metrics.as_dict()))
+    return results

@@ -11,7 +11,7 @@ test eval, rk4->euler method resolution (mujoco-sde.py:15-25).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ All feature dims are zero-padded to 128 lanes — padding is exact
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

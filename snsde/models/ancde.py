@@ -28,7 +28,6 @@ Rebuilds:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

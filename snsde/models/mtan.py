@@ -20,7 +20,7 @@ an ordinary fused kernel on TPU (SURVEY.md §5, long-context note).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

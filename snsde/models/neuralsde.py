@@ -24,7 +24,6 @@ Design differences from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

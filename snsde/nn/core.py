@@ -17,7 +17,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

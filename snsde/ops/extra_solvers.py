@@ -19,7 +19,6 @@ Adaptive loops are bounded `lax.while_loop`s with PI step control
 
 from __future__ import annotations
 
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ Packed layout concatenates the four blocks along the channel axis
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,7 @@ step truncated to land exactly on the output time.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

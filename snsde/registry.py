@@ -17,7 +17,7 @@ registry is rebuilt from the name list + dispatch semantics, not ported.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
