@@ -70,7 +70,9 @@ def main():
         output_channels=1,
     )
 
-    tx = optax.adamw(1e-3, weight_decay=0.01)
+    # single fused Adam update over the concatenated parameter vector
+    # (avoids per-leaf kernel-launch overhead on the remote runtime)
+    tx = optax.flatten(optax.adamw(1e-3, weight_decay=0.01))
     params, _ = partition(model)
     opt_state = tx.init(params)
 
@@ -81,27 +83,37 @@ def main():
 
     vg = filter_value_and_grad(loss_fn, has_aux=True)
 
+    # the training loop itself: a scan of full train steps (fwd+bwd+adam)
+    # over on-device batches — the standard JAX epoch-in-jit pattern; each
+    # iteration is one complete optimizer update.
     @jax.jit
-    def train_step(model, opt_state, coeffs, y, key):
-        (loss, new_m), grads = vg(model, coeffs, y, key)
-        params, rest = partition(new_m)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return combine(optax.apply_updates(params, updates), rest), \
-            opt_state, loss
+    def train_loop(model, opt_state, coeffs, y, keys):
+        def body(carry, k):
+            m, os_ = carry
+            (loss, new_m), grads = vg(m, coeffs, y, k)
+            p, rest = partition(new_m)
+            updates, os2 = tx.update(grads, os_, p)
+            return (combine(optax.apply_updates(p, updates), rest), os2), \
+                loss
 
-    keys = [jax.random.fold_in(key, i) for i in range(WARMUP + ITERS)]
-    for i in range(WARMUP):
-        model, opt_state, loss = train_step(model, opt_state, coeffs, y,
-                                            keys[i])
-    loss.block_until_ready()
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), keys
+        )
+        return model, opt_state, losses
+
+    kws = jnp.stack([jax.random.fold_in(key, i) for i in range(ITERS)])
+    # warmup with the same scan length (avoids a second compile)
+    _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
+    losses.block_until_ready()
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        model, opt_state, loss = train_step(model, opt_state, coeffs, y,
-                                            keys[WARMUP + i])
-    loss.block_until_ready()
+    model, opt_state, losses = train_loop(model, opt_state, coeffs, y, kws)
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
 
+    assert bool(jnp.isfinite(losses).all()), "non-finite loss in bench loop"
+    assert float(losses[-1]) < float(losses[0]), \
+        "loss did not decrease over the bench loop"
     train_steps_per_sec = ITERS / dt
     solver_steps = LENGTH - 1  # dt = min Δt = 1 on the hourly grid
     em_steps_per_sec = train_steps_per_sec * solver_steps * BATCH

@@ -174,16 +174,18 @@ def fit_classifier(
         return loss, (logits, new_m)
 
     tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
-            *(
-                [optax.clip_by_global_norm(cfg.grad_clip)]
-                if cfg.grad_clip
-                else []
-            ),
-            optax.adamw(
-                learning_rate,
-                weight_decay=cfg.weight_decay_ratio,  # wd*lr applied by adamw
-            ),
+        lambda learning_rate: optax.flatten(
+            optax.chain(
+                *(
+                    [optax.clip_by_global_norm(cfg.grad_clip)]
+                    if cfg.grad_clip
+                    else []
+                ),
+                optax.adamw(
+                    learning_rate,
+                    weight_decay=cfg.weight_decay_ratio,  # wd*lr via adamw
+                ),
+            )
         )
     )(learning_rate=cfg.lr)
 
