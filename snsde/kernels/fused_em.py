@@ -75,10 +75,11 @@ def _fwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
         y_scr[:] = y0_ref[:]
 
     y = y_scr[:]
+    xh_blk = xh_ref[0].astype(jnp.float32)
     yy = jnp.dot(y, wy_ref[:], preferred_element_type=jnp.float32) + a_ref[0]
     z = (
         jnp.dot(yy, we1_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(xh_ref[0], we2_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(xh_blk, we2_ref[:], preferred_element_type=jnp.float32)
         + be_ref[:]
     )
     h = jnp.maximum(z, 0.0)
@@ -99,9 +100,9 @@ def _fwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
         graw = graw * y
     g = jnp.tanh(graw)
 
-    y_new = y + f * dt_ref[k, 0] + g * dw_ref[0]
+    y_new = y + f * dt_ref[k, 0] + g * dw_ref[0].astype(jnp.float32)
     y_scr[:] = y_new
-    ys_ref[0] = y_new
+    ys_ref[0] = y_new.astype(ys_ref.dtype)
 
 
 def _fused_em_forward(params, xh, a, gk, dw, dts, y0, *, n_inner,
@@ -156,7 +157,7 @@ def _fused_em_forward(params, xh, a, gk, dw, dts, y0, *, n_inner,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((M, B, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, B, H), xh.dtype),
         scratch_shapes=[pltpu.VMEM((block_b, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -199,14 +200,15 @@ def _bwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
         dbo_ref[0] = jnp.zeros_like(dbo_ref[0])
 
     # cotangent flowing into y_{step+1}: carried + direct output cotangent
-    gbar = gbar_scr[:] + gys_ref[0]
-    y = yprev_ref[0]           # state BEFORE this step (saved trajectory)
+    gbar = gbar_scr[:] + gys_ref[0].astype(jnp.float32)
+    y = yprev_ref[0].astype(jnp.float32)   # state BEFORE this step
 
     # ---- recompute forward ----
+    xh_blk = xh_ref[0].astype(jnp.float32)
     yy = jnp.dot(y, wy_ref[:], preferred_element_type=jnp.float32) + a_ref[0]
     z1 = (
         jnp.dot(yy, we1_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(xh_ref[0], we2_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(xh_blk, we2_ref[:], preferred_element_type=jnp.float32)
         + be_ref[:]
     )
     h_list = []
@@ -229,7 +231,7 @@ def _bwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
     g = jnp.tanh(graw)
 
     dt = dt_ref[nk - 1 - k, 0]
-    dw = dw_ref[0]
+    dw = dw_ref[0].astype(jnp.float32)
 
     # ---- backward through the step ----
     df = gbar * dt
@@ -262,7 +264,7 @@ def _bwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
     dyy = jnp.dot(dz1, we1_ref[:].T, preferred_element_type=jnp.float32)
     dxh = jnp.dot(dz1, we2_ref[:].T, preferred_element_type=jnp.float32)
     dwe1_ref[0] += jnp.dot(yy.T, dz1, preferred_element_type=jnp.float32)
-    dwe2_ref[0] += jnp.dot(xh_ref[0].T, dz1,
+    dwe2_ref[0] += jnp.dot(xh_blk.T, dz1,
                            preferred_element_type=jnp.float32)
     dwy_ref[0] += jnp.dot(y.T, dyy, preferred_element_type=jnp.float32)
     dy_drift = jnp.dot(dyy, wy_ref[:].T,
@@ -278,7 +280,7 @@ def _bwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
         dth_contrib = jnp.sum(dgraw * gk)
     dth_scr[0, 0] += dth_contrib * s_theta * (1.0 - s_theta)
 
-    dxh_ref[0] = dxh
+    dxh_ref[0] = dxh.astype(dxh_ref.dtype)
     da_ref[0, 0] = jnp.sum(dyy, axis=0, keepdims=True)
     dgk_ref[0, 0] = dgk
 
@@ -308,7 +310,7 @@ def _fused_em_backward(params, xh, a, gk, dw, dts, y0, ys, gys, *,
                           memory_space=pltpu.VMEM)
 
     # trajectory WITH y0 prepended: y before step k is traj[k]
-    traj = jnp.concatenate([y0[None], ys], axis=0)      # [M+1, B, H]
+    traj = jnp.concatenate([y0[None].astype(ys.dtype), ys], axis=0)
 
     in_specs = [
         rev3,                                            # y_prev (traj[k])
@@ -330,7 +332,7 @@ def _fused_em_backward(params, xh, a, gk, dw, dts, y0, ys, gys, *,
     args += [params["wout"], params["bo"]]
 
     out_shapes = [
-        jax.ShapeDtypeStruct((M, B, H), jnp.float32),        # dxh
+        jax.ShapeDtypeStruct((M, B, H), xh.dtype),           # dxh
         jax.ShapeDtypeStruct((nb, M, 1, H), jnp.float32),    # da (per blk)
         jax.ShapeDtypeStruct((nb, M, 1, H), jnp.float32),    # dgk
         jax.ShapeDtypeStruct((nb, block_b, H), jnp.float32),  # dy0
@@ -485,13 +487,28 @@ def supports_fused(field) -> bool:
     return True
 
 
-def fused_em_solve(field, path, times, y0, key, dt=None):
+def fused_em_solve(field, path, times, y0, key, dt=None,
+                   stream_dtype=None):
     """Drop-in EM solve for a supported DiffusionField. Returns
     ys [T, B, H] on the output times (torchsde layout).
 
     NOTE on semantics: matches DiffusionField.f/g exactly except that
     `nan_to_num` on the diffusion is a no-op here (gk and y are finite by
-    construction on this path)."""
+    construction on this path).
+
+    stream_dtype: dtype for the LARGE per-step streams (control features,
+    Brownian increments, trajectory, cotangents). bfloat16 halves the HBM
+    traffic of the (bandwidth-bound) solve; all in-kernel compute and
+    weight-gradient accumulation stays float32. Default float32
+    (SNSDE_FUSED_STREAM=bf16 flips the default)."""
+    import os as _os
+
+    if stream_dtype is None:
+        stream_dtype = (
+            jnp.bfloat16
+            if _os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
+            else jnp.float32
+        )
     from ..ops.solve import make_grid
     from ..ops.brownian import brownian_increments
     from ..models.neuralsde import resolve_dt
@@ -511,13 +528,13 @@ def fused_em_solve(field, path, times, y0, key, dt=None):
     # Brownian increments on the true H then padded (padded channels get
     # noise but g=0 there, so they stay zero)
     dW = brownian_increments(key, grid, (B, H), jnp.float32)
-    dW = _pad_to(dW, Hp, 2)
+    dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
 
     t_lo = jnp.asarray(grid[:-1], jnp.float32)
     # --- precompute step-dependent tensors (big MXU matmuls) ---
     Xg = path.evaluate_grid(grid[:-1])                  # [M, B, C]
     Xh = Xg @ field.initial_network.weight + field.initial_network.bias
-    Xh = _pad_to(Xh, Hp, 2)
+    Xh = _pad_to(Xh, Hp, 2).astype(stream_dtype)
 
     tf = jnp.stack([jnp.sin(t_lo), jnp.cos(t_lo)], axis=-1)  # [M, 2]
     w_in = field.linear_in.weight                        # [(H+2)|H, H]
@@ -555,5 +572,5 @@ def fused_em_solve(field, path, times, y0, key, dt=None):
     dts_tuple = tuple(np.diff(grid).astype(np.float32).tolist())
     ys = _fused_em(params, Xh, a, gk, dW, y0p, dts_tuple, n_inner,
                    geometric, mult_y)
-    full = jnp.concatenate([y0p[None], ys], axis=0)      # [M+1, B, Hp]
-    return full[jnp.asarray(out_idx)][..., :H]
+    full = jnp.concatenate([y0p[None].astype(ys.dtype), ys], axis=0)
+    return full[jnp.asarray(out_idx)][..., :H].astype(jnp.float32)
