@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,8 @@ class InterpolationConfig:
     use_kl: bool = True
     seed: int = 0
     verbose: bool = True
+    save_dir: Optional[str] = None       # checkpoint every 20 iters
+    resume: bool = False
 
 
 @module
@@ -221,7 +223,17 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
     rng = np.random.default_rng(cfg.seed)
     lr = cfg.lr
     history = []
-    for itr in range(1, cfg.niters + 1):
+    start_itr = 1
+    if cfg.save_dir and cfg.resume:
+        from ..train.checkpoint import latest_step, load_checkpoint
+
+        if latest_step(cfg.save_dir) is not None:
+            loaded, step0 = load_checkpoint(
+                cfg.save_dir, {"model": model, "opt_state": opt_state}
+            )
+            model, opt_state = loaded["model"], loaded["opt_state"]
+            start_itr = step0 + 1
+    for itr in range(start_itr, cfg.niters + 1):
         if cfg.use_kl:
             kl_coef = 0.0 if itr < 10 else 1 - 0.99 ** (itr - 10)
         else:
@@ -238,6 +250,11 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
         lr = sched.step()
         history.append({"iter": itr, "elbo": -tot / totn,
                         "kl_coef": kl_coef})
+        if cfg.save_dir and itr % 20 == 0:
+            from ..train.checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.save_dir, itr, model=model,
+                            opt_state=opt_state)
         if cfg.verbose and itr % 10 == 0:
             print(f"iter {itr}: avg loss {tot/totn:.4f} "
                   f"kl_coef {kl_coef:.3f}", flush=True)

@@ -88,3 +88,39 @@ def test_fused_gradients_match_scan():
             continue
         denom = max(float(jnp.abs(a).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / denom < 2e-2
+
+
+@requires_tpu
+def test_bf16_streams_gradient_fidelity():
+    """bf16 solver streams: gradients within 1% relative of the f32 path."""
+    from snsde.fields import DiffusionField
+    from snsde.kernels.fused_em import fused_em_solve
+    from snsde.nn.core import filter_value_and_grad
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    B, L, C, H = 128, 10, 4, 25
+    times = np.arange(L, dtype=np.float32)
+    X = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
+    path = CubicPath(coeffs, times)
+    field = DiffusionField.create(key, C, H, H, 2, input_option=4,
+                                  noise_option=17)
+    y0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    kb = jax.random.fold_in(key, 7)
+
+    def loss(f, sd):
+        ys = fused_em_solve(f.bind(path), path, times, y0, kb,
+                            stream_dtype=sd)
+        return jnp.mean(ys**2)
+
+    l32, g32 = filter_value_and_grad(lambda f: loss(f, jnp.float32))(field)
+    l16, g16 = filter_value_and_grad(lambda f: loss(f, jnp.bfloat16))(field)
+    np.testing.assert_allclose(float(l32), float(l16), rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(g32),
+                    jax.tree_util.tree_leaves(g16)):
+        if a is None:
+            continue
+        denom = max(float(jnp.abs(a).max()), 1e-6)
+        assert float(jnp.abs(a - b).max()) / denom < 3e-2
