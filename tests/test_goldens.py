@@ -1,0 +1,47 @@
+"""Golden regression anchors: the 7x20 DiffusionField grid's f/g outputs
+frozen at round 1 (threefry PRNG, fixed seeds). Protects the vector-field
+semantics across future refactors — the cross-implementation analogue of
+the reference's cross-tree f/g parity contract (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "field_grid_v1.npz")
+
+
+def test_field_grid_matches_goldens():
+    from snsde.fields import DiffusionField
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+
+    data = np.load(GOLDEN)
+    x, y, times = data["x"], data["y"], data["times"]
+    B, L, C = x.shape
+    H = y.shape[-1]
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(x))
+    path = CubicPath(coeffs, times)
+    key = jax.random.PRNGKey(0)
+    # golden init keys used the threefry impl
+    with jax.default_prng_impl("threefry2x32"):
+        key = jax.random.PRNGKey(0)
+        idx = 0
+        for io in range(7):
+            for no in range(20):
+                field = DiffusionField.create(
+                    jax.random.fold_in(key, io * 20 + no), C, H, H, 2,
+                    input_option=io, noise_option=no,
+                ).bind(path)
+                fv = np.asarray(field.f(jnp.asarray(0.3), jnp.asarray(y)))
+                gv = np.asarray(field.g(jnp.asarray(0.3), jnp.asarray(y)))
+                np.testing.assert_allclose(
+                    fv, data["f"][idx], atol=1e-5,
+                    err_msg=f"f mismatch at grid cell ({io},{no})",
+                )
+                np.testing.assert_allclose(
+                    gv, data["g"][idx], atol=1e-5,
+                    err_msg=f"g mismatch at grid cell ({io},{no})",
+                )
+                idx += 1
