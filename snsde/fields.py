@@ -118,6 +118,24 @@ class DiffusionField(Module):
         keys = jax.random.split(key, 8 + num_hidden_layers)
         time_emb = input_option in (3, 4, 5, 6)
         ctrl_emb = input_option in (2, 4, 6)
+        if ctrl_emb and hidden_hidden_channels != hidden_channels:
+            # the control-embedding layer concatenates [linear_in(y), X_t]
+            # with widths (hidden_hidden, hidden) into a 2*hidden input —
+            # consistent only when they match. The reference has the same
+            # implicit constraint (emb = Linear(hidden*2, hidden) vs
+            # hidden_hidden-wide yy, neuralsde.py:149-154) but fails with
+            # an opaque shape error instead.
+            raise ValueError(
+                f"input_option {input_option} requires hidden_channels == "
+                f"hidden_hidden_channels (got {hidden_channels} vs "
+                f"{hidden_hidden_channels})"
+            )
+        if input_option == 0 and hidden_hidden_channels != hidden_channels:
+            raise ValueError(
+                "input_option 0 feeds X_t (hidden_channels wide) straight "
+                "into the hidden MLP — hidden_channels must equal "
+                "hidden_hidden_channels"
+            )
 
         initial_network = Linear.create(
             keys[0], input_channels, hidden_channels, dtype=dtype
