@@ -35,7 +35,8 @@ from ..ops.interp import CubicPath
 from ..ops.solve import sdeint
 
 __all__ = ["ReadoutHead", "NeuralSDE", "NeuralSDEStream",
-           "NeuralSDEForecasting", "NDEModel", "resolve_dt"]
+           "NeuralSDEForecasting", "NDEModel", "resolve_dt",
+           "solve_dispatch"]
 
 
 def resolve_dt(times, floor: float = 1e-3) -> float:
@@ -43,6 +44,20 @@ def resolve_dt(times, floor: float = 1e-3) -> float:
     (reference neuralsde.py:30-48)."""
     t = np.asarray(jax.device_get(times), dtype=np.float64)
     return float(max(np.min(t[1:] - t[:-1]), floor))
+
+
+def solve_dispatch(func, path, times, y0, *, key, dt, method, bm=None,
+                   use_fused: bool = True):
+    """Shared solver dispatch: the fused Pallas EM kernel when the bound
+    field supports it (LSDE/LNSDE/GSDE configs, euler, TPU), otherwise the
+    generic scan solver."""
+    if use_fused and bm is None and method == "euler":
+        from ..kernels.fused_em import fused_em_solve, supports_fused
+
+        if supports_fused(func) and jax.default_backend() == "tpu":
+            return fused_em_solve(func, path, times, y0, key, dt=dt)
+    return sdeint(func.f, func.g, y0, times, key=key, dt=dt, method=method,
+                  bm=bm)
 
 
 @module
@@ -124,13 +139,8 @@ class NeuralSDE(Module):
             z0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
         dt = resolve_dt(times) if dt is None else dt
         method = method or self.method
-        if use_fused and bm is None and method == "euler":
-            from ..kernels.fused_em import fused_em_solve, supports_fused
-
-            if supports_fused(func) and jax.default_backend() == "tpu":
-                return fused_em_solve(func, path, times, z0, key, dt=dt)
-        return sdeint(func.f, func.g, z0, times, key=key, dt=dt,
-                      method=method, bm=bm)
+        return solve_dispatch(func, path, times, z0, key=key, dt=dt,
+                              method=method, bm=bm, use_fused=use_fused)
 
     def __call__(self, times, coeffs, final_index, *, key, z0=None,
                  stream: bool = False, train: bool = False, dt=None,
@@ -186,8 +196,8 @@ class NeuralSDEStream(Module):
             H = self.linear.in_features
             y0 = jnp.zeros((B, H), path.a.dtype)
         dt = resolve_dt(times) if dt is None else dt
-        zs = sdeint(func.f, func.g, y0, times, key=key, dt=dt,
-                    method=method or self.method, bm=bm)   # [L, B, H]
+        zs = solve_dispatch(func, path, times, y0, key=key, dt=dt,
+                            method=method or self.method, bm=bm)
         z = jnp.moveaxis(zs, 0, 1)                         # [B, L, H]
         return self.linear(z), z
 
@@ -226,8 +236,8 @@ class NeuralSDEForecasting(Module):
         func = self.func.bind(path)
         y0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
         dt = resolve_dt(times) if dt is None else dt
-        zs = sdeint(func.f, func.g, y0, times, key=key, dt=dt,
-                    method=method or self.method, bm=bm)   # [L, B, H]
+        zs = solve_dispatch(func, path, times, y0, key=key, dt=dt,
+                            method=method or self.method, bm=bm)
         z = jnp.moveaxis(zs, 0, 1)                         # [B, L, H]
         z = z[:, -self.output_time:, :]
         h = jax.nn.relu(self.linear1(z))
