@@ -4,13 +4,14 @@ Rebuilds /root/reference/torch-ists/param_search.py:96-300 (ray.tune +
 ASHAScheduler over {lr loguniform 1e-4..1e-1, hidden ∈ {16,32,64,128},
 layers 1-4}) without the ray dependency: trials run sequentially (or can be
 sharded trial-per-process for experiment parallelism), the ASHA rungs prune
-by validation accuracy, best config is pickled per (dataset, model).
+by validation accuracy, best config is saved as JSON per (dataset, model)
+(the reference pickles; JSON avoids the unpickle trust surface).
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -93,6 +94,6 @@ def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
               ]}
     if out_path:
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        with open(out_path, "wb") as f:
-            pickle.dump(result, f)
+        with open(out_path, "w") as f:
+            json.dump(result, f, default=float)
     return result

@@ -7,15 +7,16 @@ set_splits.py}:
     StepLR(10, 0.5), patience-10 early stop (model_run.py:220-228)
   * fixed stratified splits per seed (set_splits.py:64-119)
   * per-(dataset, missing_rate ∈ {0,.3,.5,.7}, model, seed) training with
-    skip-if-exists resume, pickled predictions (model_run.py:92-306)
+    skip-if-exists resume, JSON result records (model_run.py:92-306 uses
+    pickle; JSON here so resume never unpickles untrusted bytes)
   * (x, mask, delta) preprocessing with seeded missingness
     (_utils.py:115-185; missingness generator seed 56789)
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -113,13 +114,16 @@ class ISTSClassifier(Module):
 
 def make_fixed_splits(y: np.ndarray, seeds=(0, 1, 2, 3, 4),
                       path: Optional[str] = None):
-    """Stratified 70/15/15 per seed, optionally persisted
-    (set_splits.py:64-119)."""
+    """Stratified 70/15/15 per seed, optionally persisted as JSON
+    (set_splits.py:64-119; JSON instead of the reference's pickles so
+    resumable records never require unpickling untrusted bytes)."""
     splits = {s: stratified_split(y, seed=s) for s in seeds}
     if path:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(splits, f)
+        with open(path, "w") as f:
+            json.dump(
+                {str(s): [np.asarray(ix).tolist() for ix in sp]
+                 for s, sp in splits.items()}, f)
     return splits
 
 
@@ -229,7 +233,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                          data_fn=synthetic_uea, dataset_name: str =
                          "synthetic_uea", verbose: bool = True) -> List[Dict]:
     """The model_run.py loop: dataset × missing_rate × model × seed with
-    skip-if-exists resume and pickled predictions."""
+    skip-if-exists resume and JSON result records."""
     X, y, _ = data_fn(n=n)
     results = []
     for rate in cfg.missing_rates:
@@ -238,11 +242,11 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
             for seed in cfg.seeds:
                 out_path = os.path.join(
                     cfg.out_dir, dataset_name, str(int(rate * 100)),
-                    f"{model_name}_{seed}.pkl",
+                    f"{model_name}_{seed}.json",
                 )
                 if os.path.exists(out_path):            # resume
-                    with open(out_path, "rb") as f:
-                        results.append(pickle.load(f))
+                    with open(out_path) as f:
+                        results.append(json.load(f))
                     continue
                 key = jax.random.PRNGKey(seed)
                 splits = stratified_split(y, seed=seed)
@@ -263,8 +267,8 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                         "missing_rate": rate,
                         "model": model_name,
                         "seed": seed,
-                        "accuracy": test_m.accuracy,
-                        "f1_weighted": test_m.f1_weighted,
+                        "accuracy": float(test_m.accuracy),
+                        "f1_weighted": float(test_m.f1_weighted),
                         "wall_time": time.time() - t0,
                     }
                 except Exception as e:  # model_run.py:297-305 blanket skip
@@ -274,8 +278,8 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                         "error": repr(e),
                     }
                 os.makedirs(os.path.dirname(out_path), exist_ok=True)
-                with open(out_path, "wb") as f:
-                    pickle.dump(rec, f)
+                with open(out_path, "w") as f:
+                    json.dump(rec, f)
                 results.append(rec)
                 if verbose:
                     print(rec, flush=True)

@@ -529,8 +529,11 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     mult_y = field.noise_option == 17
 
     # Brownian increments on the true H then padded (padded channels get
-    # noise but g=0 there, so they stay zero)
-    dW = brownian_increments(key, grid, (B, H), jnp.float32)
+    # noise but g=0 there, so they stay zero). Split the key exactly like
+    # ops.solve.sdeint does (kw for dW, ku unused here) so a given seed
+    # draws the same Brownian path on the fused and scan paths.
+    kw, _ = jax.random.split(key)
+    dW = brownian_increments(kw, grid, (B, H), jnp.float32)
     dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
 
     t_lo = jnp.asarray(grid[:-1], jnp.float32)

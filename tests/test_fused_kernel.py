@@ -36,12 +36,20 @@ def test_fused_matches_scan(io, no):
     y0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
     kb = jax.random.fold_in(key, 7)
     grid, _ = make_grid(times, resolve_dt(times))
-    dW = brownian_increments(kb, grid, (B, H))
+    # both sdeint(key=kb) and fused_em_solve(..., kb) draw dW from
+    # split(kb)[0]; assert that explicitly and via the shared-key path
+    kw, _ = jax.random.split(kb)
+    dW = brownian_increments(kw, grid, (B, H))
     bm = BrownianGrid(grid=jnp.asarray(grid), dW=dW, U=None)
     ys_ref = sdeint(field.f, field.g, y0, times, bm=bm, method="euler")
     ys_fused = fused_em_solve(field, path, times, y0, kb)
     np.testing.assert_allclose(
         np.asarray(ys_ref), np.asarray(ys_fused), atol=5e-3
+    )
+    # cross-path reproducibility: same seed, no injected bm
+    ys_keyed = sdeint(field.f, field.g, y0, times, key=kb, method="euler")
+    np.testing.assert_allclose(
+        np.asarray(ys_keyed), np.asarray(ys_fused), atol=5e-3
     )
 
 
@@ -67,7 +75,8 @@ def test_fused_gradients_match_scan():
     y0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
     kb = jax.random.fold_in(key, 7)
     grid, _ = make_grid(times, resolve_dt(times))
-    dW = brownian_increments(kb, grid, (B, H))
+    kw, _ = jax.random.split(kb)           # fused draws dW from split(kb)[0]
+    dW = brownian_increments(kw, grid, (B, H))
     bm = BrownianGrid(grid=jnp.asarray(grid), dW=dW, U=None)
 
     def loss_scan(f):
