@@ -32,7 +32,8 @@ from ..fields import MODEL_NAME_GRID, DiffusionField
 from ..models.neuralsde import NeuralSDE
 from ..nn.core import Module, module, static_field
 from ..nn.layers import Linear
-from ..train.loop import FitResult, TrainConfig, fit_classifier
+from ..train.loop import (FitResult, TrainConfig, fit_classifier,
+                          readout_grad_hook)
 
 __all__ = ["make_model", "make_sde_model", "parse_model_name", "run_sepsis",
            "run_speech", "InitialValueModel"]
@@ -231,8 +232,11 @@ def run_sepsis(cfg: HarnessConfig = HarnessConfig(), n: int = 4096,
         max_epochs=max_epochs or cfg.max_epochs, num_classes=2,
         pos_weight=10.0, step_mode="valauc", seed=cfg.seed,
     )
+    # 100x gradient scaling on the final readout linear — the reference's
+    # register_hook on model.linear[-1] (sepsis-sde.py:55-56).
     result = fit_classifier(model, apply_fn, lambda m: m.sde.func, tr, va,
-                            te, tc)
+                            te, tc,
+                            grad_hook=readout_grad_hook("sde.readout.linear2"))
     if cfg.results_dir:
         _save_results(cfg.results_dir, f"sepsis-{cfg.model_name}", result)
     return result
@@ -266,7 +270,9 @@ def run_speech(cfg: HarnessConfig = HarnessConfig(), n: int = 2048,
         max_epochs=max_epochs or cfg.max_epochs, num_classes=10,
         step_mode="valaccuracy", seed=cfg.seed,
     )
-    result = fit_classifier(model, apply_fn, reg_fn, tr, va, te, tc)
+    # speech_commands-sde.py:33-34 applies the same 100x readout grad hook.
+    result = fit_classifier(model, apply_fn, reg_fn, tr, va, te, tc,
+                            grad_hook=readout_grad_hook("readout.linear2"))
     if cfg.results_dir:
         _save_results(cfg.results_dir, f"speech-{cfg.model_name}", result)
     return result

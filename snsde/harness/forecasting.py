@@ -11,7 +11,7 @@ test eval, rk4->euler method resolution (mujoco-sde.py:15-25).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,20 +61,31 @@ def make_forecast_model(key, name: str, input_channels: int,
 
 @dataclass
 class ForecastConfig:
+    """Defaults mirror the reference CLI (parse.py:17-40 + mujoco-sde.py):
+    lr 1e-4, Adam weight_decay 1e-5 (coupled L2), mse + l2-reg scale 0.01,
+    ReduceLROnPlateau(patience=5) on val loss, plateau-terminate 50,
+    time-augmented input channel (intensity default True)."""
+
     model_name: str = "neurallnsde"
     hidden_channels: int = 16
     hidden_hidden_channels: int = 16
     num_hidden_layers: int = 1
-    lr: float = 1e-3
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
     batch_size: int = 1024
     max_epochs: int = 100
     time_seq: int = 50
     y_seq: int = 10
     missing_rate: float = 0.0
     loss: str = "mse"            # mse | huber
-    reg: str = "none"            # none | l1 | l2
+    reg: str = "l2"              # none | l1 | l2
     reg_scale: float = 0.01
     method: str = "euler"
+    step_mode: str = "valloss"   # valloss | trainloss | none
+    time_augment: bool = True    # = --intensity (mujoco.sh sweeps False)
+    plateau_patience: int = 5
+    plateau_terminate: int = 50
+    npy_path: Optional[str] = None   # None -> bundled reference mujoco.npy
     seed: int = 0
     verbose: bool = True
 
@@ -93,24 +104,41 @@ def _loss_fn_base(kind: str):
 
 
 def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
-               data_fn: Callable = synthetic_mujoco) -> Dict:
-    """Train + evaluate; returns dict with per-split MSE and history."""
-    total_len = cfg.time_seq + cfg.y_seq
-    X, t = data_fn(n=n, length=total_len, seed=cfg.seed)
-    C = X.shape[-1]
+               data_fn: Optional[Callable] = None) -> Dict:
+    """Train + evaluate; returns dict with per-split MSE and history.
 
-    # input window with optional missingness; target = last y_seq values
-    X_in = X[:, : cfg.time_seq, :]
-    if cfg.missing_rate > 0:
-        X_in = inject_missingness(X_in, cfg.missing_rate)
-    y_out = X[:, cfg.time_seq :, :]
+    Default data path: the bundled reference trajectory bank
+    (benchmark_forecasting/datasets/mujoco.npy — stride-1 windows,
+    whole-timestep seed-56789 missingness), falling back to synthetic
+    windows when the file is absent. Pass data_fn(n, length, seed) ->
+    (X [n, time_seq+y_seq, D], t) to override (tests use synthetic).
+    """
+    if data_fn is not None:
+        total_len = cfg.time_seq + cfg.y_seq
+        X, _ = data_fn(n=n, length=total_len, seed=cfg.seed)
+        X_in = X[:, : cfg.time_seq, :]
+        if cfg.missing_rate > 0:
+            X_in = inject_missingness(X_in, cfg.missing_rate)
+        y_out = X[:, cfg.time_seq :, :]
+        times_in = np.arange(cfg.time_seq, dtype=np.float32)
+    else:
+        from ..data.mujoco import get_data
 
-    times_in = np.arange(cfg.time_seq, dtype=np.float32)
-    # augment with a time channel, natural-spline coeffs (reference uses the
-    # vendored natural_cubic_spline_coeffs on the forecasting path)
-    tchan = np.broadcast_to(times_in[None, :, None],
-                            (X_in.shape[0], cfg.time_seq, 1))
-    Xa = np.concatenate([tchan, X_in], axis=-1)
+        X_in, y_out, times_in = get_data(
+            npy_path=cfg.npy_path, time_seq=cfg.time_seq, y_seq=cfg.y_seq,
+            missing_rate=cfg.missing_rate, n_synthetic=n, seed=cfg.seed,
+        )
+    C = X_in.shape[-1]
+    # time_augment = intensity in the reference (mujoco-sde.py:64); the
+    # official sweep (mujoco.sh) runs --intensity false -> no time channel.
+    if cfg.time_augment:
+        tchan = np.broadcast_to(times_in[None, :, None],
+                                (X_in.shape[0], cfg.time_seq, 1))
+        Xa = np.concatenate([tchan, X_in], axis=-1)
+    else:
+        Xa = X_in
+    # natural-spline coeffs (reference uses the vendored NaN-aware
+    # natural_cubic_spline_coeffs on the forecasting path)
     coeffs = np.asarray(
         natural_cubic_coeffs(jnp.asarray(times_in), jnp.asarray(Xa),
                              pack=True)
@@ -118,7 +146,7 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
 
     # sequential split (forecasting must not shuffle across time windows,
     # reference mujoco.py sequential 70/15/15)
-    n_total = X.shape[0]
+    n_total = X_in.shape[0]
     n_tr, n_va = int(0.7 * n_total), int(0.15 * n_total)
     splits = {
         "train": slice(0, n_tr),
@@ -131,7 +159,7 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
 
     key = jax.random.PRNGKey(cfg.seed)
     model, reg_fn = make_forecast_model(
-        key, cfg.model_name, C + 1, cfg.hidden_channels,
+        key, cfg.model_name, C + int(cfg.time_augment), cfg.hidden_channels,
         cfg.hidden_hidden_channels, cfg.num_hidden_layers,
         output_channels=C, output_time=cfg.y_seq, method=cfg.method,
     )
@@ -153,15 +181,23 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
             loss = loss + cfg.reg_scale * l1
         return loss
 
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.lr * 0.01)
+    # torch.optim.Adam(lr, weight_decay=1e-5): coupled L2 added to the
+    # gradient before Adam normalization (common_sde.py:254).
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(learning_rate),
+        )
+    )(learning_rate=cfg.lr)
     params, _ = partition(model)
     opt_state = tx.init(params)
     vg = filter_value_and_grad(loss_fn)
 
     @jax.jit
-    def train_step(m, opt_state, batch, key):
+    def train_step(m, opt_state, batch, key, lr):
         loss, grads = vg(m, batch, key)
         params, rest = partition(m)
+        opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = tx.update(grads, opt_state, params)
         return combine(optax.apply_updates(params, updates), rest), \
             opt_state, loss
@@ -181,15 +217,23 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
             cnt += nv
         return tot / cnt
 
+    from ..train.schedule import ReduceLROnPlateau
+
     rng = np.random.default_rng(cfg.seed)
     history = []
     best_val = np.inf
+    best_train = np.inf
+    best_train_epoch = 0
     best_params = params
+    lr = cfg.lr
+    sched = ReduceLROnPlateau(lr=cfg.lr, mode="min",
+                              patience=cfg.plateau_patience)
     for epoch in range(cfg.max_epochs):
         for batch, _ in iterate_batches(datasets["train"], cfg.batch_size,
                                         rng=rng):
             key, sub = jax.random.split(key)
-            model, opt_state, loss = train_step(model, opt_state, batch, sub)
+            model, opt_state, loss = train_step(model, opt_state, batch,
+                                                sub, jnp.asarray(lr))
         key, k1, k2, k3 = jax.random.split(key, 4)
         mses = {
             "train": evaluate(model, datasets["train"], k1),
@@ -197,15 +241,28 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
             "test": evaluate(model, datasets["test"], k3),
         }
         history.append({"epoch": epoch, **mses})
-        if mses["val"] < best_val:
+        # best-val restore + train-plateau early stop, both with the
+        # reference's 1.0001 improvement factor (common_sde.py:167-175,196)
+        if mses["train"] * 1.0001 < best_train:
+            best_train = mses["train"]
+            best_train_epoch = epoch
+        if mses["val"] * 1.0001 < best_val:
             best_val = mses["val"]
             best_params, _ = partition(model)
+        if cfg.step_mode == "valloss":
+            lr = sched.step(mses["val"])
+        elif cfg.step_mode == "trainloss":
+            lr = sched.step(mses["train"])
         if cfg.verbose:
             print(
                 f"epoch {epoch}: train {mses['train']:.4f} "
-                f"val {mses['val']:.4f} test {mses['test']:.4f}",
+                f"val {mses['val']:.4f} test {mses['test']:.4f} lr {lr:.1e}",
                 flush=True,
             )
+        if epoch > best_train_epoch + cfg.plateau_terminate:
+            if cfg.verbose:
+                print("early stop: training-loss plateau", flush=True)
+            break
 
     _, rest = partition(model)
     model = combine(best_params, rest)

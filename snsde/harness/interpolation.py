@@ -151,8 +151,10 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
         else:
             m_sub = m
         x_sub = x * m_sub
+        # round(tp * num_ref) - 1, the reference's bucket indexing
+        # (sde_interpolation.py:173-179) — rounding, not truncation.
         idx = jnp.clip(
-            (tp * Lref - 1).astype(jnp.int32), 0, Lref - 1
+            jnp.round(tp * Lref).astype(jnp.int32) - 1, 0, Lref - 1
         )                                             # [B, L]
         Bc = x.shape[0]
         formatted_x = jnp.zeros((Bc, Lref, D), x.dtype)
@@ -220,7 +222,6 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
         return mse
 
     sched = CosineAnnealingLR(lr=cfg.lr, t_max=10, eta_min=1e-5)
-    rng = np.random.default_rng(cfg.seed)
     lr = cfg.lr
     history = []
     start_itr = 1
@@ -233,7 +234,18 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
             )
             model, opt_state = loaded["model"], loaded["opt_state"]
             start_itr = step0 + 1
+            # Deterministic schedule resume: re-advance the cosine schedule
+            # to where the uninterrupted run would be (its state is a pure
+            # function of the iteration count).
+            for _ in range(start_itr - 1):
+                lr = sched.step()
+    base_key = key
     for itr in range(start_itr, cfg.niters + 1):
+        # Per-iteration randomness is a pure function of (seed, itr) — batch
+        # shuffling and JAX keys replay identically across resume, so a
+        # resumed run reproduces the uninterrupted one exactly.
+        rng = np.random.default_rng([cfg.seed, itr])
+        key = jax.random.fold_in(base_key, itr)
         if cfg.use_kl:
             kl_coef = 0.0 if itr < 10 else 1 - 0.99 ** (itr - 10)
         else:

@@ -32,7 +32,8 @@ from ..nn.core import Module, combine, filter_value_and_grad, module, partition
 from ..nn.layers import BatchNorm, Linear
 from ..ops.interp import hermite_cubic_coeffs, natural_cubic_coeffs
 from ..registry import SeqLayer, make_seq_layer
-from ..train.loop import iterate_batches, softmax_cross_entropy
+from ..train.loop import (iterate_batches, readout_grad_hook,
+                          softmax_cross_entropy)
 from ..train.metrics import classification_metrics
 from ..train.schedule import StepLR as StepLRSched
 
@@ -172,10 +173,15 @@ def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
     params, _ = partition(model)
     opt_state = tx.init(params)
     vg = filter_value_and_grad(loss_fn, has_aux=True)
+    # 100x grad scaling on the classifier head's final linear
+    # (_model.py:27-28 register_hook), applied before the clip like torch
+    # (backward hooks fire before clip_grad_norm_).
+    grad_hook = readout_grad_hook("fc2")
 
     @jax.jit
     def train_step(m, opt_state, batch, key, lr_val):
         (loss, (_, new_m)), grads = vg(m, batch, key, True)
+        grads = grad_hook(grads)
         params, rest = partition(new_m)
         opt_state.hyperparams["learning_rate"] = lr_val
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -31,7 +31,10 @@ from .schedule import ReduceLROnPlateau
 __all__ = [
     "bce_with_logits",
     "softmax_cross_entropy",
+    "bce_with_logits_per_sample",
+    "softmax_cross_entropy_per_sample",
     "weight_regularization",
+    "readout_grad_hook",
     "TrainConfig",
     "fit_classifier",
     "iterate_batches",
@@ -42,22 +45,57 @@ __all__ = [
 # Losses
 # ---------------------------------------------------------------------------
 
-def bce_with_logits(logits, labels, pos_weight: float = 1.0):
-    """Mean binary cross entropy on logits with positive-class weighting
-    (torch BCEWithLogitsLoss(pos_weight) semantics)."""
+def bce_with_logits_per_sample(logits, labels, pos_weight: float = 1.0):
+    """Per-sample binary cross entropy on logits with positive-class
+    weighting (torch BCEWithLogitsLoss(pos_weight, reduction='none'))."""
     labels = labels.astype(logits.dtype)
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
-    loss = -(pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
-    return jnp.mean(loss)
+    return -(pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
+
+
+def softmax_cross_entropy_per_sample(logits, labels):
+    """Per-sample cross entropy; labels are int class ids."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                axis=-1)[:, 0]
+
+
+def bce_with_logits(logits, labels, pos_weight: float = 1.0):
+    """Mean binary cross entropy on logits with positive-class weighting
+    (torch BCEWithLogitsLoss(pos_weight) semantics)."""
+    return jnp.mean(bce_with_logits_per_sample(logits, labels, pos_weight))
 
 
 def softmax_cross_entropy(logits, labels):
     """Mean cross entropy; labels are int class ids."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
-                                 axis=-1)[:, 0]
-    return -jnp.mean(picked)
+    return jnp.mean(softmax_cross_entropy_per_sample(logits, labels))
+
+
+def readout_grad_hook(attr_path: str, scale: float = 100.0) -> Callable:
+    """Per-leaf gradient scaling for the final readout layer, reproducing
+    the reference's 100x register_hook on the last linear's weight+bias
+    (sepsis-sde.py:55-56, speech_commands-sde.py:33-34,
+    torch-ists/_model.py:27-28).
+
+    `attr_path` names the subtree within the *gradient* pytree (which mirrors
+    the model dataclass tree), e.g. "sde.readout.linear2". Returns a function
+    grads -> grads with every leaf of that subtree multiplied by `scale`.
+    Applied to the raw gradients before the optimizer (clip / weight decay /
+    Adam), exactly where torch's backward hook fires.
+    """
+    parts = attr_path.split(".")
+
+    def hook(grads):
+        def rec(node, i):
+            if i == len(parts):
+                return jax.tree_util.tree_map(lambda x: x * scale, node)
+            return node.replace(**{parts[i]: rec(getattr(node, parts[i]),
+                                                 i + 1)})
+
+        return rec(grads, 0)
+
+    return hook
 
 
 def weight_regularization(module, scaling: float = 0.01):
@@ -112,6 +150,13 @@ class TrainConfig:
     plateau_terminate: int = 50
     reg_scaling: float = 0.01
     weight_decay_ratio: float = 0.01   # wd = lr * ratio (reference)
+    # Reference uses torch.optim.Adam(weight_decay=lr*0.01): *coupled* L2
+    # (wd*p added to the gradient before Adam's moment normalization,
+    # common_sde.py:266). True matches that; False keeps decoupled AdamW.
+    coupled_weight_decay: bool = True
+    # 100x gradient scaling on the final readout linear (weight+bias), the
+    # reference's register_hook (sepsis-sde.py:55-56). Path into the grad
+    # tree is supplied by the harness via fit_classifier(grad_hook=...).
     grad_clip: Optional[float] = None
     eval_batch_size: Optional[int] = None
     seed: int = 0
@@ -143,12 +188,19 @@ def fit_classifier(
     test_data: Optional[Dict[str, np.ndarray]],
     config: TrainConfig,
     mesh=None,
+    grad_hook: Optional[Callable] = None,
 ) -> FitResult:
     """Generic classification fit.
 
     apply_fn(model, batch, key, train) -> (logits, new_model); batch is a
     dict of arrays whose leading dim is the batch. `reg_subtree_fn(model)`
-    returns the subtree to L2-regularize (the vector field).
+    returns the subtree to L2-regularize (the vector field). `grad_hook`
+    (grads -> grads) mirrors torch backward hooks — see readout_grad_hook.
+
+    Final partial batches are padded to the fixed batch shape (one XLA
+    program) but masked out of the loss, so every sample carries exactly the
+    reference's weight (common_sde.py runs a smaller final batch; only
+    BatchNorm batch statistics see the padded duplicates).
     """
     cfg = config
     nc = cfg.num_classes
@@ -164,33 +216,49 @@ def fit_classifier(
         def _to_device(batch):
             return batch
 
-    base_loss = (
-        (lambda lo, y: bce_with_logits(lo, y, cfg.pos_weight))
+    per_sample_loss = (
+        (lambda lo, y: bce_with_logits_per_sample(lo, y, cfg.pos_weight))
         if nc == 2
-        else softmax_cross_entropy
+        else softmax_cross_entropy_per_sample
     )
 
     def loss_fn(m, batch, key, train):
         logits, new_m = apply_fn(m, batch, key, train)
-        loss = base_loss(logits, batch["y"])
+        per = per_sample_loss(logits, batch["y"])
+        mask = batch.get("_mask")
+        if mask is None:
+            loss = jnp.mean(per)
+        else:
+            mask = mask.astype(per.dtype)
+            loss = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         loss = loss + weight_regularization(reg_subtree_fn(m), cfg.reg_scaling)
         return loss, (logits, new_m)
 
-    tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.flatten(
-            optax.chain(
-                *(
-                    [optax.clip_by_global_norm(cfg.grad_clip)]
-                    if cfg.grad_clip
-                    else []
-                ),
-                optax.adamw(
-                    learning_rate,
-                    weight_decay=cfg.weight_decay_ratio,  # wd*lr via adamw
-                ),
-            )
-        )
-    )(learning_rate=cfg.lr)
+    # Optimizer. coupled_weight_decay=True reproduces
+    # torch.optim.Adam(lr, weight_decay=lr*0.01) (common_sde.py:266): the L2
+    # term wd*p is added to the gradient *before* Adam's moment
+    # normalization, and wd stays fixed at lr0*0.01 even when
+    # ReduceLROnPlateau shrinks lr (torch weight_decay is a
+    # construction-time param-group constant).
+    wd = cfg.lr * cfg.weight_decay_ratio
+    clip = (
+        [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip else []
+    )
+    if cfg.coupled_weight_decay:
+        def _make_tx(learning_rate):
+            return optax.flatten(optax.chain(
+                *clip,
+                optax.add_decayed_weights(wd),
+                optax.adam(learning_rate),
+            ))
+    else:
+        def _make_tx(learning_rate):
+            return optax.flatten(optax.chain(
+                *clip,
+                optax.adamw(learning_rate,
+                            weight_decay=cfg.weight_decay_ratio),
+            ))
+    tx = optax.inject_hyperparams(_make_tx)(learning_rate=cfg.lr)
 
     if mesh is not None:
         model = _replicate(model, mesh)
@@ -198,57 +266,75 @@ def fit_classifier(
     opt_state = tx.init(params0)
     vg = filter_value_and_grad(loss_fn, has_aux=True)
 
+    def _apply_hook(grads):
+        return grad_hook(grads) if grad_hook is not None else grads
+
     @jax.jit
     def train_step(m, opt_state, batch, key, lr):
         (loss, (_, new_m)), grads = vg(m, batch, key, True)
+        grads = _apply_hook(grads)
         params, rest = partition(new_m)
         opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return combine(params, rest), opt_state, loss
 
+    # Device-resident epoch: the training set is uploaded once; each epoch
+    # ships only an [nb, B] int32 permutation + loss mask (a few KB) and
+    # batches are gathered on device inside the scan — no per-epoch
+    # re-stack/re-upload of the full set (a scaling wall at SpeechCommands
+    # size, 34,975 samples).
+    n_train = next(iter(train_data.values())).shape[0]
+    nb_train = max(1, -(-n_train // cfg.batch_size))
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch as _shard_batch
+
+        device_train = _shard_batch(train_data, mesh)
+        _batch_divisible = cfg.batch_size % mesh.shape["data"] == 0
+        _data_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+    else:
+        device_train = {k: jnp.asarray(v) for k, v in train_data.items()}
+
     @jax.jit
-    def epoch_step(m, opt_state, batches, keys, lr):
+    def epoch_step(m, opt_state, perm, masks, keys, lr):
         opt_state.hyperparams["learning_rate"] = lr
 
         def body(carry, xs):
             mm, os_ = carry
-            batch, k = xs
+            idx, mask, k = xs
+            batch = {kk: vv[idx] for kk, vv in device_train.items()}
+            if mesh is not None and _batch_divisible:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, _data_sharding
+                )
+            batch["_mask"] = mask
             (loss, (_, new_m)), grads = vg(mm, batch, k, True)
+            grads = _apply_hook(grads)
             p, rest = partition(new_m)
             updates, os2 = tx.update(grads, os_, p)
             return (combine(optax.apply_updates(p, updates), rest), os2), \
                 loss
 
         (m, opt_state), losses = jax.lax.scan(
-            body, (m, opt_state), (batches, keys)
+            body, (m, opt_state), (perm, masks, keys)
         )
         return m, opt_state, losses
 
     def run_epoch_scanned(m, opt_state, rng, key, lr):
-        stacked_list = list(
-            iterate_batches(train_data, cfg.batch_size, rng=rng)
-        )
-        stacked = {
-            k: np.stack([b[0][k] for b in stacked_list])
-            for k in train_data
-        }
-        nb = len(stacked_list)
-        keys = jax.random.split(key, nb)
-        stacked = _to_device(
-            {k: v for k, v in stacked.items()}
-        ) if mesh is None else jax.tree_util.tree_map(
-            lambda v: jax.device_put(
-                jnp.asarray(v),
-                jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec(None, "data")
-                ),
-            ),
-            stacked,
-        )
-        m, opt_state, losses = epoch_step(m, opt_state, stacked, keys,
+        idx = rng.permutation(n_train)
+        pad = nb_train * cfg.batch_size - n_train
+        mask = np.ones(nb_train * cfg.batch_size, np.float32)
+        if pad:
+            idx = np.concatenate([idx, np.resize(idx, pad)])
+            mask[-pad:] = 0.0
+        perm = idx.reshape(nb_train, cfg.batch_size).astype(np.int32)
+        masks = mask.reshape(nb_train, cfg.batch_size)
+        keys = jax.random.split(key, nb_train)
+        m, opt_state, losses = epoch_step(m, opt_state, perm, masks, keys,
                                           jnp.asarray(lr))
-        return m, opt_state, nb
+        return m, opt_state, nb_train
 
     @jax.jit
     def eval_step(m, batch, key):
@@ -261,6 +347,11 @@ def fit_classifier(
         for i, (batch, n_valid) in enumerate(
             iterate_batches(data, ebs, rng=None)
         ):
+            bs = next(iter(batch.values())).shape[0]
+            mask = np.zeros(bs, np.float32)
+            mask[:n_valid] = 1.0
+            batch = dict(batch)
+            batch["_mask"] = mask
             logits, loss = eval_step(m, _to_device(batch),
                                      jax.random.fold_in(key, i))
             logits_all.append(np.asarray(logits)[:n_valid])
@@ -308,8 +399,13 @@ def fit_classifier(
                                                      sub, lr)
             n_steps += nb
         else:
-            for batch, _ in iterate_batches(train_data, cfg.batch_size,
-                                            rng=rng):
+            for batch, n_valid in iterate_batches(train_data,
+                                                  cfg.batch_size, rng=rng):
+                bs = next(iter(batch.values())).shape[0]
+                mask = np.zeros(bs, np.float32)
+                mask[:n_valid] = 1.0
+                batch = dict(batch)
+                batch["_mask"] = mask
                 key, sub = jax.random.split(key)
                 model, opt_state, loss = train_step(
                     model, opt_state, _to_device(batch), sub,

@@ -156,3 +156,109 @@ def test_theory_checks_lsde_lnsde_gsde():
     zero = jnp.zeros_like(y)
     assert float(jnp.abs(gsde.f(t, zero)).max()) < 1e-7
     assert float(jnp.abs(gsde.g(t, zero)).max()) < 1e-7
+
+
+def test_readout_grad_hook_scales_only_target_leaves():
+    """readout_grad_hook reproduces the reference's 100x register_hook on
+    the final readout linear (sepsis-sde.py:55-56): only that layer's
+    weight+bias gradients are scaled."""
+    import jax.numpy as jnp
+
+    from snsde.nn.core import partition
+    from snsde.train.loop import readout_grad_hook
+
+    model, _ = make_sde_model(
+        jax.random.PRNGKey(0), "neurallnsde", input_channels=3,
+        hidden_channels=8, hidden_hidden_channels=8, num_hidden_layers=1,
+        output_channels=2,
+    )
+    grads, _ = partition(model)  # stand-in gradient tree (same structure)
+    hook = readout_grad_hook("readout.linear2", scale=100.0)
+    scaled = hook(grads)
+    np.testing.assert_allclose(
+        np.asarray(scaled.readout.linear2.weight),
+        100.0 * np.asarray(grads.readout.linear2.weight),
+    )
+    np.testing.assert_allclose(
+        np.asarray(scaled.readout.linear2.bias),
+        100.0 * np.asarray(grads.readout.linear2.bias),
+    )
+    # everything else untouched
+    np.testing.assert_array_equal(
+        np.asarray(scaled.readout.linear1.weight),
+        np.asarray(grads.readout.linear1.weight),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scaled.initial_network.weight),
+        np.asarray(grads.initial_network.weight),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scaled.func.linear_in.weight),
+        np.asarray(grads.func.linear_in.weight),
+    )
+
+
+def _tiny_linear_setup(n, d=5, nc=2, seed=0):
+    import jax.numpy as jnp
+
+    from snsde.nn.core import Module, module
+    from snsde.nn.layers import Linear
+
+    @module
+    class Lin(Module):
+        lin: Linear
+
+        def __call__(self, x):
+            return self.lin(x)
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    y = rng.integers(0, nc, n).astype(np.int64)
+    model = Lin(lin=Linear.create(jax.random.PRNGKey(seed), d, nc))
+
+    def apply_fn(m, batch, key, train):
+        out = m(batch["x"])
+        return (out[..., 0] if nc == 2 else out), m
+
+    return model, apply_fn, {"x": X, "y": y}
+
+
+def test_eval_loss_ignores_batch_padding():
+    """Padded final eval batches must not contaminate the reported loss:
+    the loss for a 37-sample set must be identical whether evaluated in one
+    padded batch of 64 or batches of 8+5-pad (reference runs a smaller
+    final batch; we mask instead)."""
+    from snsde.train.loop import TrainConfig, fit_classifier
+
+    model, apply_fn, data = _tiny_linear_setup(37)
+    losses = {}
+    for ebs in (8, 64):
+        cfg = TrainConfig(batch_size=16, eval_batch_size=ebs, max_epochs=0,
+                          num_classes=2, verbose=False)
+        res = fit_classifier(model, apply_fn, lambda m: m, data, data, data,
+                             cfg)
+        losses[ebs] = res.val_metrics.loss
+    np.testing.assert_allclose(losses[8], losses[64], rtol=1e-5)
+
+
+def test_fit_trains_on_nondivisible_dataset():
+    """Device-resident scanned epochs handle n % batch_size != 0 (padded,
+    masked) and still learn; coupled and decoupled weight-decay modes both
+    run."""
+    from snsde.train.loop import TrainConfig, fit_classifier
+
+    rng = np.random.default_rng(0)
+    n, d = 100, 4
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    w_true = rng.normal(size=(d,)).astype(np.float32)
+    y = (X @ w_true > 0).astype(np.int64)
+    model, apply_fn, _ = _tiny_linear_setup(n, d=d)
+    data = {"x": X, "y": y}
+    for coupled in (True, False):
+        cfg = TrainConfig(batch_size=32, max_epochs=30, num_classes=2,
+                          verbose=False, lr=1e-1, step_mode="none",
+                          coupled_weight_decay=coupled)
+        res = fit_classifier(model, apply_fn, lambda m: m, data, data, data,
+                             cfg)
+        assert res.train_metrics.accuracy > 0.9, (
+            f"coupled={coupled}: {res.train_metrics.accuracy}")
