@@ -199,3 +199,60 @@ def test_em_trajectory_and_gradient_parity(em_goldens, name):
         rel = np.abs(ours - ref).max() / denom
         assert rel < 1e-4, (
             f"{name}: grad {gname} relative error {rel:.2e} >= 1e-4")
+
+
+def test_srk_pathwise_parity_with_torchsde_scheme():
+    """snsde's method='srk' reproduces the Rößler SRID2 scheme — torchsde's
+    'srk' for diagonal Ito SDEs and the torch-ists stream family's default
+    solver (nsde_model.py:63-69) — pathwise on shared (dW, I10), including
+    gradients. Goldens from an independent float64 torch transcription of
+    the tableau (tools/make_srk_goldens.py); order tests alone cannot
+    distinguish two different valid order-1.5 schemes."""
+    z = np.load(GOLDENS / "reference_srk.npz")
+    a, b, c, d = [float(v) for v in z["params"]]
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        bm = BrownianGrid(
+            grid=jnp.asarray(z["grid"]),
+            dW=jnp.asarray(z["dW"]),
+            U=jnp.asarray(z["I10"]),
+        )
+        y0 = jnp.asarray(z["y0"])
+        ts = np.asarray(z["grid"])
+
+        def run(params):
+            aa, bb, cc, dd = params
+
+            def f(t, y):
+                return aa * y + bb * jnp.sin(t + y)
+
+            def g(t, y):
+                return cc * y + dd * jnp.cos(y)
+
+            ys = sdeint(f, g, y0, ts, bm=bm, method="srk")
+            return ys
+
+        traj = run((a, b, c, d))
+        np.testing.assert_allclose(np.asarray(traj), z["traj"],
+                                   rtol=1e-10, atol=1e-10)
+
+        def loss_fn(params):
+            return jnp.sum(run(params)[-1] ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            (jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d))
+        )
+        np.testing.assert_allclose(float(loss), float(z["loss"]),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(grads), z["grads"],
+                                   rtol=1e-8, atol=1e-10)
