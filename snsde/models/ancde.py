@@ -92,14 +92,14 @@ class ANCDE(Module):
             method=method,
         )
 
-    def __call__(self, times, coeffs, final_index=None, *, slope=None,
-                 key=None, **kw):
+    def attention_path(self, times, coeffs, *, slope=None):
+        """The bottom-CDE attention gate a(t) in (0,1) (soft) or {0,1}
+        (hard STE) — [B, L, 1] (timewise) or [B, L, C]. Exposed for
+        inspection, mirroring the reference's attention visualization."""
         path = CubicPath(coeffs, times)
         t_arr = jnp.asarray(times)
         z0 = self.initial_network(path.evaluate(t_arr[0]))
-
         dt = resolve_dt(times, floor=0.0)
-        # bottom CDE: attention state over input channels
         a_stream = cdeint(path, self.func_f, z0, times, dt=dt,
                           method=self.method)            # [L, B, C]
         a_stream = jnp.moveaxis(a_stream, 0, 1)          # [B, L, C]
@@ -108,10 +108,16 @@ class ANCDE(Module):
         else:
             att = a_stream                               # [B, L, C]
         if self.soft:
-            att = jax.nn.sigmoid(att)
-        else:
-            s = 1.0 if slope is None else slope
-            att = hard_sigmoid_ste(s * att)
+            return jax.nn.sigmoid(att)
+        s = 1.0 if slope is None else slope
+        return hard_sigmoid_ste(s * att)
+
+    def __call__(self, times, coeffs, final_index=None, *, slope=None,
+                 key=None, **kw):
+        path = CubicPath(coeffs, times)
+        t_arr = jnp.asarray(times)
+        dt = resolve_dt(times, floor=0.0)
+        att = self.attention_path(times, coeffs, slope=slope)
 
         # top CDE over the attention-gated path Y(t) = a(t) ⊙ X(t)
         X_grid = jnp.moveaxis(jax.vmap(path.evaluate)(t_arr), 0, 1)

@@ -38,7 +38,12 @@ class TimeTanh(Module):
 
     @staticmethod
     def create(key, out_dim, dtype=jnp.float32):
-        return TimeTanh(lin=Linear.create(key, 1, out_dim, dtype=dtype))
+        # bias-free (stribor TimeTanh): φ(0) = 0 exactly, which is what
+        # makes every flow layer the identity at t=0 — the defining flow
+        # property F(x, 0) = x.
+        return TimeTanh(
+            lin=Linear.create(key, 1, out_dim, use_bias=False, dtype=dtype)
+        )
 
     def __call__(self, t):
         return jnp.tanh(self.lin(t))

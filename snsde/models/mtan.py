@@ -98,6 +98,22 @@ class MultiTimeAttention(Module):
             embed_time=embed_time,
         )
 
+    def attention_weights(self, query, key, mask=None):
+        """Softmax attention weights over key positions — [B, h, Lq, Lk]
+        (unmasked) rows sum to 1. Exposed for inspection/testing."""
+        h = self.num_heads
+        dk = self.embed_time // h
+        q = self.wq(query).reshape(query.shape[:-1] + (h, dk))
+        k = self.wk(key).reshape(key.shape[:-1] + (h, dk))
+        if q.ndim == 3:
+            q = jnp.broadcast_to(q[None], (key.shape[0],) + q.shape)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dk)
+        if mask is not None:
+            scores = jnp.where(
+                jnp.any(mask, -1)[:, None, None, :] == 0, -1e9, scores
+            )
+        return jax.nn.softmax(scores, axis=-1)
+
     def __call__(self, query, key, value, mask=None):
         """query [Bq?, Lq, E], key [B, Lk, E], value [B, Lk, D],
         mask [B, Lk, D] (1 = observed) -> [B, Lq, nhidden]."""
