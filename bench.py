@@ -26,6 +26,13 @@ import numpy as np
 # relative of the f32 path. Library default stays f32; the bench measures
 # the production training configuration.
 os.environ.setdefault("SNSDE_FUSED_STREAM", "bf16")
+# SNSDE_FUSED_MATMUL=bf16 casts matmul operands to bf16 (4x MXU rate).
+# A/B on v5e: in-kernel per-step casting was ~3% slower; with weights
+# pre-cast once outside the kernel it is exactly neutral (44.28M vs
+# 44.18M, within noise) — the per-step matmuls are [512,128]x[128,128],
+# latency-bound, not throughput-bound. Keep f32 operands for bit-level
+# parity with the scan path.
+os.environ.setdefault("SNSDE_FUSED_MATMUL", "f32")
 
 BATCH = 1024
 LENGTH = 72          # sepsis grid (reference datasets/sepsis.py:59)

@@ -1,36 +1,52 @@
-"""Fused Euler–Maruyama solver kernel (Pallas/TPU).
+"""Fused Euler–Maruyama solver kernel (Pallas/TPU) — full-grid coverage.
 
 The reference's hot loop (SURVEY.md §3.1) is thousands of tiny MLP evals:
-per EM step, drift = MLP(emb([linear_in([t-feat, y]), init(X(t))])) and
-diffusion = relu(2NN(t-feat)) (·y), each a handful of [B,H]x[H,H] matmuls.
-Under `lax.scan` each step pays XLA loop overhead + HBM weight re-reads
-(~63us/step measured); the FLOPs are ~0.15us. This kernel runs the ENTIRE
-time loop on-chip: weights live in VMEM across all steps, step-dependent
-tensors (control features, Brownian increments) are pipelined in via
-BlockSpecs, and the state never leaves VMEM.
+per EM step, drift = MLP(drift-input) and diffusion = one of 20 noise
+families, each a handful of [B,H]x[H,H] matmuls. Under `lax.scan` each step
+pays XLA loop overhead + HBM weight re-reads (~63us/step measured); the
+FLOPs are ~0.15us. This kernel runs the ENTIRE time loop on-chip: weights
+live in VMEM across all steps, step-dependent tensors (control features,
+Brownian increments) are pipelined in via BlockSpecs, and the state never
+leaves VMEM.
 
-Covers the proposed-model family — input_option ∈ {2 (LSDE), 4 (LNSDE),
-6 (GSDE)} × noise_option ∈ {16, 17} — via precomputation:
-  * Xh[k]   = initial_network(X(grid_k))     (one big MXU matmul outside)
-  * a[k]    = tf_k @ W_t + b_in              (time part of linear_in)
-  * gk[k]   = relu(2NN(tf_k))                (diffusion is t-only!)
-so the in-kernel step is purely state-dependent:
-  yy = y @ Wy + a_k ;  z = relu(yy @ We1 + Xh_k @ We2 + be) -> MLP -> z3
-  f  = tanh(z3 * tanh(y)) if geometric else tanh(z3)
-  g  = tanh(s_theta * gk_k [* y])
-  y' = y + f dt_k + g dW_k
+Coverage: the FULL input_option (0-6) x noise_option (0-19) grid
+(reference neuralsde.py:123-307), via a static config:
+
+  drift_mode ('xt' io=0 | 'yy' io=1,3,5 | 'emb' io=2,4,6) + geometric
+  (io=5,6); time features enter through the precomputed per-step bias `a`.
+
+  noise_mode:
+    'precomp' — diffusion depends only on (t, params): options
+       0 (zero), 1-6 (sigma/sigma_diag [*t]), 11 (t), 12/13 (1NN(t)),
+       16/17 (relu 2NN(t)). gk[k] is precomputed OUTSIDE the kernel with
+       one big MXU matmul; its cotangent dgk chains back to
+       sigma/noise-net weights through ordinary JAX AD.
+    'elem'    — elementwise state noise: 7 sqrt(y) (NaN->0 like the
+       reference's nan_to_num), 8 y^3, 9 sigmoid(y), 10 relu(y).
+    'net1'    — one-layer NN(t,y) (14/15): y @ Wn1_y + an1[k], where
+       an1[k] = tf_k @ Wn1_t + bn1 is precomputed.
+    'net2'    — two-layer relu NN(t,y) (18/19, incl. the README-named
+       `naivesde` (1,18) and `neuralsde_3_18`): the noise net's hidden
+       layer runs IN-kernel since it is state-dependent.
+  mult_y (3,6,11,13,15,17,19) multiplies the raw diffusion by y.
 
 Training uses a custom VJP whose backward is a second Pallas kernel:
 reverse time loop, activations recomputed from the saved trajectory,
 weight-gradient accumulators resident in VMEM.
 
-All feature dims are zero-padded to 128 lanes — padding is exact
-(tanh(0)=0 keeps padded state identically zero), and the MXU tiles cleanly.
+All feature dims are zero-padded to 128 lanes — padding is exact: drift
+output is zero in padded lanes (zero wout columns + tanh(0)=0) and padded
+Brownian lanes are zero, so padded state stays identically zero.
+
+Set SNSDE_FUSED_INTERPRET=1 to run the kernels in Pallas interpret mode
+(CPU) — used by the test suite to validate every config branch without TPU
+hardware.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +57,21 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_em_solve", "supports_fused"]
 
 LANE = 128
+
+
+def _interpret():
+    return os.environ.get("SNSDE_FUSED_INTERPRET", "0") == "1"
+
+
+def _dot(x, w, mm_bf16: bool):
+    """MXU matmul with f32 accumulation. mm_bf16 casts the operands to
+    bfloat16 first: the MXU runs bf16 inputs ~4x faster than f32, and the
+    roofline (tools/roofline.py) shows the fused step is compute-bound at
+    the f32 matmul rate. Accumulation stays f32 either way."""
+    if mm_bf16:
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
 def _pad_to(x, size, axis):
@@ -57,111 +88,254 @@ def _round_up(n, m):
 
 
 # ---------------------------------------------------------------------------
+# Static config
+# ---------------------------------------------------------------------------
+
+_DRIFT_BY_IO = {0: "xt", 1: "yy", 2: "emb", 3: "yy", 4: "emb", 5: "yy",
+                6: "emb"}
+_ELEM_BY_NO = {7: "sqrt", 8: "cube", 9: "sigmoid", 10: "relu"}
+_PRECOMP_NO = {0, 1, 2, 3, 4, 5, 6, 11, 12, 13, 16, 17}
+_MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
+
+
+def _config(io: int, no: int, mm_bf16: bool = False):
+    drift = _DRIFT_BY_IO[io]
+    geometric = io in (5, 6)
+    if no in _PRECOMP_NO:
+        noise = "precomp"
+    elif no in _ELEM_BY_NO:
+        noise = "elem"
+    elif no in (14, 15):
+        noise = "net1"
+    else:                           # 18, 19
+        noise = "net2"
+    return {
+        "drift": drift,
+        "geometric": geometric,
+        "noise": noise,
+        "elem": _ELEM_BY_NO.get(no),
+        "mult_y": no in _MULT_Y_NO,
+        "mm_bf16": mm_bf16,
+    }
+
+
+def _flatten_params(params):
+    """Expand the w_inner/b_inner tuples into per-index entries for the
+    canonical kernel-argument name list."""
+    flat = {}
+    for k, v in params.items():
+        if k in ("w_inner", "b_inner"):
+            for i, vi in enumerate(v):
+                flat[f"{k}{i}"] = vi
+        else:
+            flat[k] = v
+    return flat
+
+
+def _fwd_input_names(cfg, n_inner):
+    names = ["y0"]
+    if cfg["drift"] in ("xt", "emb"):
+        names.append("xh")
+    if cfg["drift"] != "xt":
+        names += ["wy", "a"]
+    if cfg["drift"] == "emb":
+        names += ["we1", "we2", "be"]
+    names += [f"w_inner{i}" for i in range(n_inner)]
+    names += [f"b_inner{i}" for i in range(n_inner)]
+    names += ["wout", "bo", "theta"]
+    if cfg["noise"] == "precomp":
+        names.append("gk")
+    elif cfg["noise"] in ("net1", "net2"):
+        names += ["wn1", "an1"]
+        if cfg["noise"] == "net2":
+            names += ["wn2", "bn2"]
+    names += ["dw", "dts"]
+    return names
+
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel math
+# ---------------------------------------------------------------------------
+
+def _drift_forward(cfg, n_inner, r, y, save=False):
+    """Recompute the drift MLP. Returns (f, aux) with aux holding the
+    intermediates the backward needs (None entries when unused).
+
+    Step-dependent entries of r ('xh', 'a') are PRE-SLICED per-step arrays
+    ([B, H] / [1, H]); weights are VMEM refs."""
+    drift = cfg["drift"]
+    mm = cfg["mm_bf16"]
+    xh_blk = r["xh"].astype(jnp.float32) if "xh" in r else None
+    yy = None
+    if drift == "xt":
+        z1 = xh_blk
+    elif drift == "yy":
+        z1 = _dot(y, r["wy"][:], mm) + \
+            r["a"]
+    else:
+        yy = _dot(y, r["wy"][:], mm) + \
+            r["a"]
+        z1 = (
+            _dot(yy, r["we1"][:], mm)
+            + _dot(xh_blk, r["we2"][:], mm)
+            + r["be"][:]
+        )
+    h = jnp.maximum(z1, 0.0)
+    h_list = [h]
+    z_list = []
+    for i in range(n_inner):
+        zz = _dot(h, r[f"w_inner{i}"][:], mm) + r[f"b_inner{i}"][:]
+        z_list.append(zz)
+        h = jnp.maximum(zz, 0.0)
+        h_list.append(h)
+    z3_lin = _dot(h, r["wout"][:], mm) + r["bo"][:]
+    ty = jnp.tanh(y)
+    z3 = z3_lin * ty if cfg["geometric"] else z3_lin
+    f = jnp.tanh(z3)
+    aux = (z1, h_list, z_list, z3_lin, ty, f, yy, xh_blk)
+    return f, aux
+
+
+def _noise_forward(cfg, r, y):
+    """Raw diffusion before sigmoid(theta) scaling/tanh. Returns
+    (graw, aux)."""
+    noise = cfg["noise"]
+    mm = cfg["mm_bf16"]
+    if noise == "precomp":
+        base = r["gk"]
+        aux = None
+    elif noise == "elem":
+        e = cfg["elem"]
+        if e == "sqrt":
+            # reference: sqrt(y) -> NaN for y<0 -> nan_to_num -> 0
+            base = jnp.where(y > 0.0, jnp.sqrt(jnp.maximum(y, 0.0)), 0.0)
+        elif e == "cube":
+            base = y * y * y
+        elif e == "sigmoid":
+            base = jax.nn.sigmoid(y)
+        else:
+            base = jnp.maximum(y, 0.0)
+        aux = None
+    elif noise == "net1":
+        base = _dot(y, r["wn1"][:], mm) + r["an1"]
+        aux = None
+    else:                            # net2
+        zn1 = _dot(y, r["wn1"][:], mm) + r["an1"]
+        hn = jnp.maximum(zn1, 0.0)
+        zn2 = _dot(hn, r["wn2"][:], mm) + r["bn2"][:]
+        base = jnp.maximum(zn2, 0.0)   # outer relu (options 18/19)
+        aux = (zn1, hn, zn2)
+    if cfg["mult_y"]:
+        graw = base * y
+    else:
+        graw = base
+    return graw, base, aux
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
-                # refs:
-                y0_ref, xh_ref, a_ref, gk_ref, dw_ref, dt_ref, theta_ref,
-                wy_ref, we1_ref, we2_ref, be_ref, *rest):
-    inner_w = rest[: n_inner]
-    inner_b = rest[n_inner : 2 * n_inner]
-    wout_ref, bo_ref, ys_ref, y_scr = rest[2 * n_inner :]
+_STEP_NAMES = ("xh", "a", "gk", "an1")
+
+
+def _slice_step(r, u):
+    """Per-step view: step-dependent streams sliced at in-block row u."""
+    ru = dict(r)
+    for nm in _STEP_NAMES:
+        if nm in r:
+            ru[nm] = r[nm][u]
+    return ru
+
+
+def _fwd_kernel(cfg, n_inner, U, names, *refs):
+    r = dict(zip(names, refs[: len(names)]))
+    ys_ref, y_scr = refs[len(names) :]
 
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
-        y_scr[:] = y0_ref[:]
+        y_scr[:] = r["y0"][:]
 
     y = y_scr[:]
-    xh_blk = xh_ref[0].astype(jnp.float32)
-    yy = jnp.dot(y, wy_ref[:], preferred_element_type=jnp.float32) + a_ref[0]
-    z = (
-        jnp.dot(yy, we1_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(xh_blk, we2_ref[:], preferred_element_type=jnp.float32)
-        + be_ref[:]
-    )
-    h = jnp.maximum(z, 0.0)
-    for wr, br in zip(inner_w, inner_b):
-        h = jnp.maximum(
-            jnp.dot(h, wr[:], preferred_element_type=jnp.float32) + br[:],
-            0.0,
-        )
-    z3 = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32) + \
-        bo_ref[:]
-    if geometric:
-        z3 = z3 * jnp.tanh(y)
-    f = jnp.tanh(z3)
-
-    s_theta = jax.nn.sigmoid(theta_ref[0, 0])
-    graw = s_theta * gk_ref[0]
-    if mult_y:
-        graw = graw * y
-    g = jnp.tanh(graw)
-
-    y_new = y + f * dt_ref[k, 0] + g * dw_ref[0].astype(jnp.float32)
-    y_scr[:] = y_new
-    ys_ref[0] = y_new.astype(ys_ref.dtype)
+    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    # U solver steps per grid iteration (statically unrolled): amortizes
+    # the per-iteration latency that dominates at these tiny matmul sizes.
+    for u in range(U):
+        ru = _slice_step(r, u)
+        f, _ = _drift_forward(cfg, n_inner, ru, y)
+        graw, _, _ = _noise_forward(cfg, ru, y)
+        g = jnp.tanh(s_theta * graw)
+        y = y + f * r["dts"][k * U + u, 0] + \
+            g * r["dw"][u].astype(jnp.float32)
+        ys_ref[u] = y.astype(ys_ref.dtype)
+    y_scr[:] = y
 
 
-def _fused_em_forward(params, xh, a, gk, dw, dts, y0, *, n_inner,
-                      geometric, mult_y, block_b):
-    """xh/dw: [M, B, H]; a/gk: [M, 1, H]; dts: [M]; y0: [B, H] (padded)."""
-    M, B, H = xh.shape
-    nb = B // block_b
-
-    grid = (nb, M)
-    step_spec3 = pl.BlockSpec(
-        (1, block_b, H), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
-    )
-    step_spec2 = pl.BlockSpec(
-        (1, 1, H), lambda b, k: (k, 0, 0), memory_space=pltpu.VMEM
-    )
-    w_spec = pl.BlockSpec(
-        (H, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM
-    )
-    b_spec = pl.BlockSpec((1, H), lambda b, k: (0, 0),
+def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
+    """BlockSpecs for the canonical input name list. nk = grid size along
+    the step axis (= padded steps / U); step streams use U-row blocks."""
+    if reverse:
+        s3 = pl.BlockSpec((U, block_b, H), lambda b, k: (nk - 1 - k, b, 0),
                           memory_space=pltpu.VMEM)
+        s2 = pl.BlockSpec((U, 1, H), lambda b, k: (nk - 1 - k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    else:
+        s3 = pl.BlockSpec((U, block_b, H), lambda b, k: (k, b, 0),
+                          memory_space=pltpu.VMEM)
+        s2 = pl.BlockSpec((U, 1, H), lambda b, k: (k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((H, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM)
+    bsp = pl.BlockSpec((1, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM)
+    by_name = {
+        "y0": pl.BlockSpec((block_b, H), lambda b, k: (b, 0),
+                           memory_space=pltpu.VMEM),
+        "yprev": s3, "gys": s3,
+        "xh": s3, "a": s2, "gk": s2, "an1": s2, "dw": s3,
+        "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
+        "theta": pl.BlockSpec((1, 1), lambda b, k: (0, 0),
+                              memory_space=pltpu.SMEM),
+    }
+    out = []
+    for n in names:
+        if n in by_name:
+            out.append(by_name[n])
+        elif n.startswith("b_inner") or n in ("be", "bo", "bn2"):
+            out.append(bsp)
+        else:                         # square weights
+            out.append(w)
+    return out
 
-    in_specs = [
-        pl.BlockSpec((block_b, H), lambda b, k: (b, 0),
-                     memory_space=pltpu.VMEM),          # y0
-        step_spec3,                                      # xh
-        step_spec2,                                      # a
-        step_spec2,                                      # gk
-        step_spec3,                                      # dw
-        pl.BlockSpec(memory_space=pltpu.SMEM),           # dts (full [M,1])
-        pl.BlockSpec((1, 1), lambda b, k: (0, 0),
-                     memory_space=pltpu.SMEM),           # theta
-        w_spec, w_spec, w_spec, b_spec,                  # wy, we1, we2, be
-    ]
-    args = [y0, xh, a, gk, dw, dts, params["theta"], params["wy"],
-            params["we1"], params["we2"], params["be"]]
-    for i in range(n_inner):
-        in_specs.append(w_spec)
-        args.append(params["w_inner"][i])
-    for i in range(n_inner):
-        in_specs.append(b_spec)
-        args.append(params["b_inner"][i])
-    in_specs += [w_spec, b_spec]
-    args += [params["wout"], params["bo"]]
+
+def _fused_em_forward(params, streams, dw, dts, y0, *, cfg, n_inner,
+                      block_b, unroll):
+    M, B, H = dw.shape
+    U = unroll
+    nk = M // U
+    nb = B // block_b
+    names = _fwd_input_names(cfg, n_inner)
+    vals = {"y0": y0, "dw": dw, "dts": dts, **_flatten_params(params),
+            **streams}
+    args = [vals[n] for n in names]
+    in_specs = _specs_for(names, cfg, nk, B, H, block_b, U)
 
     out_spec = pl.BlockSpec(
-        (1, block_b, H), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
+        (U, block_b, H), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
     )
-
-    kernel = functools.partial(_fwd_kernel, n_inner, geometric, mult_y)
+    kernel = functools.partial(_fwd_kernel, cfg, n_inner, U, names)
     ys = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nb, nk),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((M, B, H), xh.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, B, H), streams.get(
+            "xh", dw).dtype),
         scratch_shapes=[pltpu.VMEM((block_b, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=_interpret(),
     )(*args)
     return ys
 
@@ -170,225 +344,224 @@ def _fused_em_forward(params, xh, a, gk, dw, dts, y0, *, n_inner,
 # Backward kernel (reverse loop; recomputes activations from saved ys)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n_inner: int, geometric: bool, mult_y: bool,
-                yprev_ref, gys_ref, xh_ref, a_ref, gk_ref, dw_ref, dt_ref,
-                theta_ref, wy_ref, we1_ref, we2_ref, be_ref, *rest):
-    inner_w = rest[: n_inner]
-    inner_b = rest[n_inner : 2 * n_inner]
-    (wout_ref, bo_ref,
-     dxh_ref, da_ref, dgk_ref, dy0_ref, dtheta_ref,
-     dwy_ref, dwe1_ref, dwe2_ref, dbe_ref) = rest[2 * n_inner : 2 * n_inner + 11]
-    dinner_w = rest[2 * n_inner + 11 : 3 * n_inner + 11]
-    dinner_b = rest[3 * n_inner + 11 : 4 * n_inner + 11]
-    dwout_ref, dbo_ref, gbar_scr, dth_scr = rest[4 * n_inner + 11 :]
+def _bwd_output_names(cfg, n_inner):
+    names = []
+    if cfg["drift"] in ("xt", "emb"):
+        names.append("dxh")
+    if cfg["drift"] != "xt":
+        names += ["dwy", "da"]
+    if cfg["drift"] == "emb":
+        names += ["dwe1", "dwe2", "dbe"]
+    names += [f"dw_inner{i}" for i in range(n_inner)]
+    names += [f"db_inner{i}" for i in range(n_inner)]
+    names += ["dwout", "dbo", "dtheta"]
+    if cfg["noise"] == "precomp":
+        names.append("dgk")
+    elif cfg["noise"] in ("net1", "net2"):
+        names += ["dwn1", "dan1"]
+        if cfg["noise"] == "net2":
+            names += ["dwn2", "dbn2"]
+    names.append("dy0")
+    return names
+
+
+def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
+    n_in = len(in_names)
+    n_out = len(out_names)
+    r = dict(zip(in_names, refs[:n_in]))
+    o = dict(zip(out_names, refs[n_in : n_in + n_out]))
+    gbar_scr, dth_scr = refs[n_in + n_out :]
 
     k = pl.program_id(1)
     nk = pl.num_programs(1)
+
+    acc_names = [n for n in out_names
+                 if n not in ("dxh", "da", "dgk", "dan1", "dy0", "dtheta")]
 
     @pl.when(k == 0)
     def _():
         gbar_scr[:] = jnp.zeros_like(gbar_scr)
         dth_scr[0, 0] = 0.0
-        dwy_ref[0] = jnp.zeros_like(dwy_ref[0])
-        dwe1_ref[0] = jnp.zeros_like(dwe1_ref[0])
-        dwe2_ref[0] = jnp.zeros_like(dwe2_ref[0])
-        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
-        for dwr, dbr in zip(dinner_w, dinner_b):
-            dwr[0] = jnp.zeros_like(dwr[0])
-            dbr[0] = jnp.zeros_like(dbr[0])
-        dwout_ref[0] = jnp.zeros_like(dwout_ref[0])
-        dbo_ref[0] = jnp.zeros_like(dbo_ref[0])
+        for n in acc_names:
+            o[n][0] = jnp.zeros_like(o[n][0])
 
-    # cotangent flowing into y_{step+1}: carried + direct output cotangent
-    gbar = gbar_scr[:] + gys_ref[0].astype(jnp.float32)
-    y = yprev_ref[0].astype(jnp.float32)   # state BEFORE this step
+    mm = cfg["mm_bf16"]
+    gbar = gbar_scr[:]
+    dth = dth_scr[0, 0]
+    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
 
-    # ---- recompute forward ----
-    xh_blk = xh_ref[0].astype(jnp.float32)
-    yy = jnp.dot(y, wy_ref[:], preferred_element_type=jnp.float32) + a_ref[0]
-    z1 = (
-        jnp.dot(yy, we1_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(xh_blk, we2_ref[:], preferred_element_type=jnp.float32)
-        + be_ref[:]
-    )
-    h_list = []
-    z_list = []
-    h = jnp.maximum(z1, 0.0)
-    h_list.append(h)
-    for wr, br in zip(inner_w, inner_b):
-        zz = jnp.dot(h, wr[:], preferred_element_type=jnp.float32) + br[:]
-        z_list.append(zz)
-        h = jnp.maximum(zz, 0.0)
-        h_list.append(h)
-    z3_lin = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32) + \
-        bo_ref[:]
-    ty = jnp.tanh(y)
-    z3 = z3_lin * ty if geometric else z3_lin
-    f = jnp.tanh(z3)
-    s_theta = jax.nn.sigmoid(theta_ref[0, 0])
-    gk = gk_ref[0]
-    graw = s_theta * gk * y if mult_y else s_theta * gk
-    g = jnp.tanh(graw)
+    # U steps per grid iteration, reverse time within the block
+    for u in range(U - 1, -1, -1):
+        ru = _slice_step(r, u)
+        gbar = gbar + r["gys"][u].astype(jnp.float32)
+        y = r["yprev"][u].astype(jnp.float32)   # state BEFORE this step
 
-    dt = dt_ref[nk - 1 - k, 0]
-    dw = dw_ref[0].astype(jnp.float32)
+        # ---- recompute forward ----
+        f, (z1, h_list, z_list, z3_lin, ty, f_, yy, xh_blk) = \
+            _drift_forward(cfg, n_inner, ru, y)
+        graw, base, naux = _noise_forward(cfg, ru, y)
+        g = jnp.tanh(s_theta * graw)
 
-    # ---- backward through the step ----
-    df = gbar * dt
-    dg = gbar * dw
-    dz3 = df * (1.0 - f * f)
-    dgraw = dg * (1.0 - g * g)
+        dt = r["dts"][(nk - 1 - k) * U + u, 0]
+        dw = r["dw"][u].astype(jnp.float32)
 
-    if geometric:
-        dz3_lin = dz3 * ty
-        dy_geo = dz3 * z3_lin * (1.0 - ty * ty)
-    else:
-        dz3_lin = dz3
-        dy_geo = jnp.zeros_like(y)
+        # ---- backward through the step ----
+        df = gbar * dt
+        dg = gbar * dw
+        dz3 = df * (1.0 - f * f)
+        dsg = dg * (1.0 - g * g)
+        # d wrt s_theta and graw
+        dth += jnp.sum(dsg * graw) * s_theta * (1.0 - s_theta)
+        dgraw = dsg * s_theta
 
-    dwout_ref[0] += jnp.dot(h.T, dz3_lin,
-                            preferred_element_type=jnp.float32)
-    dbo_ref[0] += jnp.sum(dz3_lin, axis=0, keepdims=True)
-    dh = jnp.dot(dz3_lin, wout_ref[:].T,
-                 preferred_element_type=jnp.float32)
-    for idx in range(n_inner - 1, -1, -1):
-        dz = dh * (z_list[idx] > 0.0)
-        dinner_w[idx][0] += jnp.dot(
-            h_list[idx].T, dz, preferred_element_type=jnp.float32
-        )
-        dinner_b[idx][0] += jnp.sum(dz, axis=0, keepdims=True)
-        dh = jnp.dot(dz, inner_w[idx][:].T,
-                     preferred_element_type=jnp.float32)
-    dz1 = dh * (z1 > 0.0)
-    dbe_ref[0] += jnp.sum(dz1, axis=0, keepdims=True)
-    dyy = jnp.dot(dz1, we1_ref[:].T, preferred_element_type=jnp.float32)
-    dxh = jnp.dot(dz1, we2_ref[:].T, preferred_element_type=jnp.float32)
-    dwe1_ref[0] += jnp.dot(yy.T, dz1, preferred_element_type=jnp.float32)
-    dwe2_ref[0] += jnp.dot(xh_blk.T, dz1,
-                           preferred_element_type=jnp.float32)
-    dwy_ref[0] += jnp.dot(y.T, dyy, preferred_element_type=jnp.float32)
-    dy_drift = jnp.dot(dyy, wy_ref[:].T,
-                       preferred_element_type=jnp.float32)
-
-    if mult_y:
-        dy_diff = dgraw * s_theta * gk
-        dgk = jnp.sum(dgraw * s_theta * y, axis=0, keepdims=True)
-        dth_contrib = jnp.sum(dgraw * gk * y)
-    else:
+        # -- diffusion backward --
         dy_diff = jnp.zeros_like(y)
-        dgk = jnp.sum(dgraw * s_theta, axis=0, keepdims=True)
-        dth_contrib = jnp.sum(dgraw * gk)
-    dth_scr[0, 0] += dth_contrib * s_theta * (1.0 - s_theta)
+        if cfg["mult_y"]:
+            dbase = dgraw * y
+            dy_diff = dy_diff + dgraw * base
+        else:
+            dbase = dgraw
+        noise = cfg["noise"]
+        if noise == "precomp":
+            o["dgk"][0, u] = jnp.sum(dbase, axis=0, keepdims=True)
+        elif noise == "elem":
+            e = cfg["elem"]
+            if e == "sqrt":
+                deriv = jnp.where(
+                    y > 0.0, 0.5 * jax.lax.rsqrt(jnp.maximum(y, 1e-30)),
+                    0.0
+                )
+            elif e == "cube":
+                deriv = 3.0 * y * y
+            elif e == "sigmoid":
+                s = jax.nn.sigmoid(y)
+                deriv = s * (1.0 - s)
+            else:
+                deriv = (y > 0.0).astype(jnp.float32)
+            dy_diff = dy_diff + dbase * deriv
+        elif noise == "net1":
+            o["dwn1"][0] += _dot(y.T, dbase, mm)
+            o["dan1"][0, u] = jnp.sum(dbase, axis=0, keepdims=True)
+            dy_diff = dy_diff + _dot(dbase, r["wn1"][:].T, mm)
+        else:                            # net2
+            zn1, hn, zn2 = naux
+            dzn2 = dbase * (zn2 > 0.0)
+            o["dwn2"][0] += _dot(hn.T, dzn2, mm)
+            o["dbn2"][0] += jnp.sum(dzn2, axis=0, keepdims=True)
+            dhn = _dot(dzn2, r["wn2"][:].T, mm)
+            dzn1 = dhn * (zn1 > 0.0)
+            o["dwn1"][0] += _dot(y.T, dzn1, mm)
+            o["dan1"][0, u] = jnp.sum(dzn1, axis=0, keepdims=True)
+            dy_diff = dy_diff + _dot(dzn1, r["wn1"][:].T, mm)
 
-    dxh_ref[0] = dxh.astype(dxh_ref.dtype)
-    da_ref[0, 0] = jnp.sum(dyy, axis=0, keepdims=True)
-    dgk_ref[0, 0] = dgk
+        # -- drift backward --
+        if cfg["geometric"]:
+            dz3_lin = dz3 * ty
+            dy_geo = dz3 * z3_lin * (1.0 - ty * ty)
+        else:
+            dz3_lin = dz3
+            dy_geo = jnp.zeros_like(y)
 
-    gbar_new = gbar + dy_drift + dy_diff + dy_geo
-    gbar_scr[:] = gbar_new
+        o["dwout"][0] += _dot(h_list[-1].T, dz3_lin, mm)
+        o["dbo"][0] += jnp.sum(dz3_lin, axis=0, keepdims=True)
+        dh = _dot(dz3_lin, r["wout"][:].T, mm)
+        for idx in range(n_inner - 1, -1, -1):
+            dz = dh * (z_list[idx] > 0.0)
+            o[f"dw_inner{idx}"][0] += _dot(h_list[idx].T, dz, mm)
+            o[f"db_inner{idx}"][0] += jnp.sum(dz, axis=0, keepdims=True)
+            dh = _dot(dz, r[f"w_inner{idx}"][:].T, mm)
+        dz1 = dh * (z1 > 0.0)
+
+        drift = cfg["drift"]
+        dy_drift = jnp.zeros_like(y)
+        if drift == "xt":
+            o["dxh"][u] = dz1.astype(o["dxh"].dtype)
+        elif drift == "yy":
+            o["dwy"][0] += _dot(y.T, dz1, mm)
+            o["da"][0, u] = jnp.sum(dz1, axis=0, keepdims=True)
+            dy_drift = _dot(dz1, r["wy"][:].T, mm)
+        else:                            # emb
+            o["dbe"][0] += jnp.sum(dz1, axis=0, keepdims=True)
+            dyy = _dot(dz1, r["we1"][:].T, mm)
+            dxh = _dot(dz1, r["we2"][:].T, mm)
+            o["dwe1"][0] += _dot(yy.T, dz1, mm)
+            o["dwe2"][0] += _dot(xh_blk.T, dz1, mm)
+            o["dwy"][0] += _dot(y.T, dyy, mm)
+            o["da"][0, u] = jnp.sum(dyy, axis=0, keepdims=True)
+            o["dxh"][u] = dxh.astype(o["dxh"].dtype)
+            dy_drift = _dot(dyy, r["wy"][:].T, mm)
+
+        gbar = gbar + dy_drift + dy_diff + dy_geo
+
+    gbar_scr[:] = gbar
+    dth_scr[0, 0] = dth
 
     @pl.when(k == nk - 1)
     def _():
-        dy0_ref[0] = gbar_scr[:]
-        dtheta_ref[0, 0, 0] = dth_scr[0, 0]
+        o["dy0"][0] = gbar_scr[:]
+        o["dtheta"][0, 0, 0] = dth_scr[0, 0]
 
 
-def _fused_em_backward(params, xh, a, gk, dw, dts, y0, ys, gys, *,
-                       n_inner, geometric, mult_y, block_b):
-    M, B, H = xh.shape
+def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
+                       n_inner, block_b, unroll):
+    M, B, H = dw.shape
+    U = unroll
+    nk = M // U
     nb = B // block_b
-    grid = (nb, M)
-    # reverse-time index map for step-dependent tensors
-    rev3 = pl.BlockSpec((1, block_b, H), lambda b, k: (M - 1 - k, b, 0),
-                        memory_space=pltpu.VMEM)
-    rev2 = pl.BlockSpec((1, 1, H), lambda b, k: (M - 1 - k, 0, 0),
-                        memory_space=pltpu.VMEM)
-    rev1 = pl.BlockSpec(memory_space=pltpu.SMEM)   # full dts [M,1]
-    w_spec = pl.BlockSpec((H, H), lambda b, k: (0, 0),
-                          memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, H), lambda b, k: (0, 0),
-                          memory_space=pltpu.VMEM)
 
     # trajectory WITH y0 prepended: y before step k is traj[k]
     traj = jnp.concatenate([y0[None].astype(ys.dtype), ys], axis=0)
 
-    in_specs = [
-        rev3,                                            # y_prev (traj[k])
-        rev3,                                            # gys[k+1]
-        rev3, rev2, rev2, rev3, rev1,                    # xh, a, gk, dw, dts
-        pl.BlockSpec((1, 1), lambda b, k: (0, 0),
-                     memory_space=pltpu.SMEM),           # theta
-        w_spec, w_spec, w_spec, b_spec,
-    ]
-    args = [traj[:-1], gys[1:], xh, a, gk, dw, dts, params["theta"],
-            params["wy"], params["we1"], params["we2"], params["be"]]
-    for i in range(n_inner):
-        in_specs.append(w_spec)
-        args.append(params["w_inner"][i])
-    for i in range(n_inner):
-        in_specs.append(b_spec)
-        args.append(params["b_inner"][i])
-    in_specs += [w_spec, b_spec]
-    args += [params["wout"], params["bo"]]
+    in_names = (["yprev", "gys"]
+                + [n for n in _fwd_input_names(cfg, n_inner) if n != "y0"])
+    vals = {"yprev": traj[:-1], "gys": gys[1:], "dw": dw, "dts": dts,
+            **_flatten_params(params), **streams}
+    args = [vals[n] for n in in_names]
+    in_specs = _specs_for(in_names, cfg, nk, B, H, block_b, U, reverse=True)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((M, B, H), xh.dtype),           # dxh
-        jax.ShapeDtypeStruct((nb, M, 1, H), jnp.float32),    # da (per blk)
-        jax.ShapeDtypeStruct((nb, M, 1, H), jnp.float32),    # dgk
-        jax.ShapeDtypeStruct((nb, block_b, H), jnp.float32),  # dy0
-        jax.ShapeDtypeStruct((nb, 1, 1), jnp.float32),       # dtheta
-        jax.ShapeDtypeStruct((nb, H, H), jnp.float32),       # dwy
-        jax.ShapeDtypeStruct((nb, H, H), jnp.float32),       # dwe1
-        jax.ShapeDtypeStruct((nb, H, H), jnp.float32),       # dwe2
-        jax.ShapeDtypeStruct((nb, 1, H), jnp.float32),       # dbe
-    ]
-    out_specs = [
-        pl.BlockSpec((1, block_b, H), lambda b, k: (M - 1 - k, b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, H), lambda b, k: (b, M - 1 - k, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, H), lambda b, k: (b, M - 1 - k, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_b, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    for i in range(n_inner):
-        out_shapes.append(jax.ShapeDtypeStruct((nb, H, H), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-    for i in range(n_inner):
-        out_shapes.append(jax.ShapeDtypeStruct((nb, 1, H), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-    out_shapes += [
-        jax.ShapeDtypeStruct((nb, H, H), jnp.float32),       # dwout
-        jax.ShapeDtypeStruct((nb, 1, H), jnp.float32),       # dbo
-    ]
-    out_specs += [
-        pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    out_names = _bwd_output_names(cfg, n_inner)
+    stream_dtype = streams.get("xh", dw).dtype
+    shape_by = {
+        "dxh": ((M, B, H), stream_dtype,
+                pl.BlockSpec((U, block_b, H),
+                             lambda b, k: (nk - 1 - k, b, 0),
+                             memory_space=pltpu.VMEM)),
+        "da": ((nb, M, 1, H), jnp.float32,
+               pl.BlockSpec((1, U, 1, H),
+                            lambda b, k: (b, nk - 1 - k, 0, 0),
+                            memory_space=pltpu.VMEM)),
+        "dy0": ((nb, block_b, H), jnp.float32,
+                pl.BlockSpec((1, block_b, H), lambda b, k: (b, 0, 0),
+                             memory_space=pltpu.VMEM)),
+        "dtheta": ((nb, 1, 1), jnp.float32,
+                   pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
+                                memory_space=pltpu.SMEM)),
+    }
+    shape_by["dgk"] = shape_by["da"]
+    shape_by["dan1"] = shape_by["da"]
+    w_out = ((nb, H, H), jnp.float32,
+             pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
+                          memory_space=pltpu.VMEM))
+    b_out = ((nb, 1, H), jnp.float32,
+             pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
+                          memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_bwd_kernel, n_inner, geometric, mult_y)
+    out_shapes, out_specs = [], []
+    for n in out_names:
+        if n in shape_by:
+            shp, dt_, spec = shape_by[n]
+        elif n.startswith("db_inner") or n in ("dbe", "dbo", "dbn2"):
+            shp, dt_, spec = b_out
+        else:
+            shp, dt_, spec = w_out
+        out_shapes.append(jax.ShapeDtypeStruct(shp, dt_))
+        out_specs.append(spec)
+
+    kernel = functools.partial(_bwd_kernel, cfg, n_inner, U, in_names,
+                               out_names)
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nb, nk),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -399,42 +572,72 @@ def _fused_em_backward(params, xh, a, gk, dw, dts, y0, ys, gys, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=_interpret(),
     )(*args)
+    out = dict(zip(out_names, outs))
 
-    (dxh, da, dgk, dy0, dtheta, dwy, dwe1, dwe2, dbe) = outs[:9]
-    dinner_w = outs[9 : 9 + n_inner]
-    dinner_b = outs[9 + n_inner : 9 + 2 * n_inner]
-    dwout, dbo = outs[9 + 2 * n_inner :]
+    # reduce per-batch-block accumulators -> cotangents
+    dparams = {"theta": jnp.sum(out["dtheta"], axis=0)}
+    if cfg["drift"] != "xt":
+        dparams["wy"] = jnp.sum(out["dwy"], axis=0)
+    if cfg["drift"] == "emb":
+        dparams["we1"] = jnp.sum(out["dwe1"], axis=0)
+        dparams["we2"] = jnp.sum(out["dwe2"], axis=0)
+        dparams["be"] = jnp.sum(out["dbe"], axis=0)
+    dparams["w_inner"] = tuple(
+        jnp.sum(out[f"dw_inner{i}"], axis=0) for i in range(n_inner)
+    )
+    dparams["b_inner"] = tuple(
+        jnp.sum(out[f"db_inner{i}"], axis=0) for i in range(n_inner)
+    )
+    dparams["wout"] = jnp.sum(out["dwout"], axis=0)
+    dparams["bo"] = jnp.sum(out["dbo"], axis=0)
+    if cfg["noise"] in ("net1", "net2"):
+        dparams["wn1"] = jnp.sum(out["dwn1"], axis=0)
+        if cfg["noise"] == "net2":
+            dparams["wn2"] = jnp.sum(out["dwn2"], axis=0)
+            dparams["bn2"] = jnp.sum(out["dbn2"], axis=0)
 
-    # reduce per-batch-block accumulators
-    dparams = {
-        "theta": jnp.sum(dtheta, axis=0),
-        "wy": jnp.sum(dwy, axis=0),
-        "we1": jnp.sum(dwe1, axis=0),
-        "we2": jnp.sum(dwe2, axis=0),
-        "be": jnp.sum(dbe, axis=0),
-        "w_inner": tuple(jnp.sum(w, axis=0) for w in dinner_w),
-        "b_inner": tuple(jnp.sum(b, axis=0) for b in dinner_b),
-        "wout": jnp.sum(dwout, axis=0),
-        "bo": jnp.sum(dbo, axis=0),
-    }
-    da = jnp.sum(da, axis=0)                             # [M, 1, H]
-    dgk = jnp.sum(dgk, axis=0)
-    dy0 = dy0.reshape(-1, dy0.shape[-1])                 # [B, H]
-    return dparams, dxh, da, dgk, dy0
+    dstreams = {}
+    if "dxh" in out:
+        dstreams["xh"] = out["dxh"]
+    if "da" in out:
+        dstreams["a"] = jnp.sum(out["da"], axis=0)
+    if "dgk" in out:
+        dstreams["gk"] = jnp.sum(out["dgk"], axis=0)
+    if "dan1" in out:
+        dstreams["an1"] = jnp.sum(out["dan1"], axis=0)
+
+    dy0 = out["dy0"].reshape(-1, out["dy0"].shape[-1])
+    return dparams, dstreams, dy0
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _fused_em(params, xh, a, gk, dw, y0, dts_tuple, n_inner, geometric,
-              mult_y):
+def _unflatten_params(keys, leaves, n_inner):
+    params = {}
+    i = 0
+    for k in keys:
+        if k == "w_inner" or k == "b_inner":
+            params[k] = tuple(leaves[i : i + n_inner])
+            i += n_inner
+        else:
+            params[k] = leaves[i]
+            i += 1
+    return params
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
+              unroll):
+    cfg = _config(*cfg_key)
     dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
-    return _fused_em_forward(params, xh, a, gk, dw, dts, y0,
-                             n_inner=n_inner, geometric=geometric,
-                             mult_y=mult_y, block_b=_pick_block(xh.shape[1]))
+    return _fused_em_forward(params, streams, dw, dts, y0, cfg=cfg,
+                             n_inner=n_inner,
+                             block_b=_pick_block(dw.shape[1]),
+                             unroll=unroll)
 
 
 def _pick_block(B):
@@ -447,25 +650,32 @@ def _pick_block(B):
     return B
 
 
-def _fused_em_fwd(params, xh, a, gk, dw, y0, dts_tuple, n_inner, geometric,
-                  mult_y):
-    ys = _fused_em(params, xh, a, gk, dw, y0, dts_tuple, n_inner, geometric,
-                   mult_y)
-    return ys, (params, xh, a, gk, dw, y0, ys)
+def _fused_em_fwd(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
+                  unroll):
+    ys = _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
+                   unroll)
+    return ys, (params, streams, dw, y0, ys)
 
 
-def _fused_em_bwd(dts_tuple, n_inner, geometric, mult_y, res, gys_full):
-    params, xh, a, gk, dw, y0, ys = res
+def _fused_em_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
+    params, streams, dw, y0, ys = res
+    cfg = _config(*cfg_key)
     dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
-    # gys_full is the cotangent of ys [M, B, H] (y0 not part of output)
-    dparams, dxh, da, dgk, dy0 = _fused_em_backward(
-        params, xh, a, gk, dw, dts, y0, ys,
+    dparams, dstreams, dy0 = _fused_em_backward(
+        params, streams, dw, dts, y0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        n_inner=n_inner, geometric=geometric, mult_y=mult_y,
-        block_b=_pick_block(xh.shape[1]),
+        cfg=cfg, n_inner=n_inner, block_b=_pick_block(dw.shape[1]),
+        unroll=unroll,
     )
+    # zero cotangents for any stream the kernel does not differentiate
+    for k, v in streams.items():
+        if k not in dstreams:
+            dstreams[k] = jnp.zeros_like(v)
+    for k, v in params.items():
+        if k not in dparams:
+            dparams[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
     ddw = jnp.zeros_like(dw)     # noise is not differentiated
-    return dparams, dxh, da, dgk, ddw, dy0
+    return dparams, dstreams, ddw, dy0
 
 
 _fused_em.defvjp(_fused_em_fwd, _fused_em_bwd)
@@ -476,18 +686,14 @@ _fused_em.defvjp(_fused_em_fwd, _fused_em_bwd)
 # ---------------------------------------------------------------------------
 
 def supports_fused(field) -> bool:
-    """True when the field's config maps onto the fused kernel: the
-    LSDE/LNSDE/GSDE family with 2-layer time-only noise nets, and
-    hidden == hidden_hidden (the emb width contract the reference also
-    requires, neuralsde.py:154)."""
+    """True when the field's config maps onto the fused kernel — the FULL
+    7x20 grid (hidden-width contracts are enforced at DiffusionField.create
+    time, so any constructible field qualifies)."""
     io = getattr(field, "input_option", None)
     no = getattr(field, "noise_option", None)
-    if io not in (2, 4, 6) or no not in (16, 17):
+    if io is None or no is None:
         return False
-    H = field.linear_out.out_features
-    if field.linear_in.out_features != H:
-        return False
-    return True
+    return 0 <= io <= 6 and 0 <= no <= 19
 
 
 def fused_em_solve(field, path, times, y0, key, dt=None,
@@ -496,20 +702,18 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     ys [T, B, H] on the output times (torchsde layout).
 
     NOTE on semantics: matches DiffusionField.f/g exactly except that
-    `nan_to_num` on the diffusion is a no-op here (gk and y are finite by
-    construction on this path).
+    `nan_to_num` on the diffusion is implemented per-family (only sqrt(y)
+    can produce NaN; the kernel zeroes it explicitly).
 
     stream_dtype: dtype for the LARGE per-step streams (control features,
     Brownian increments, trajectory, cotangents). bfloat16 halves the HBM
     traffic of the (bandwidth-bound) solve; all in-kernel compute and
     weight-gradient accumulation stays float32. Default float32
     (SNSDE_FUSED_STREAM=bf16 flips the default)."""
-    import os as _os
-
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
-            if _os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
+            if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
             else jnp.float32
         )
     from ..ops.solve import make_grid
@@ -521,62 +725,136 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     M = grid.shape[0] - 1
     B = y0.shape[0]
     H = field.linear_out.out_features
-    Hp = _round_up(max(H, 8), LANE)
+    HH = field.linear_out.in_features          # hidden_hidden width
+    Hp = _round_up(max(H, HH, 8), LANE)
     n_inner = len(field.linears)
     io = field.input_option
-    geometric = io == 6
-    time_emb = io in (4, 6)
-    mult_y = field.noise_option == 17
+    no = field.noise_option
+    # bf16 matmul operands (f32 accumulate): ~4x MXU rate for the
+    # compute-bound fused step (tools/roofline.py). Off by default for
+    # bit-level parity with the scan path; the bench and production
+    # training set SNSDE_FUSED_MATMUL=bf16.
+    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    cfg = _config(io, no, mm_bf16)
+    time_emb = io in (3, 4, 5, 6)
 
-    # Brownian increments on the true H then padded (padded channels get
-    # noise but g=0 there, so they stay zero). Split the key exactly like
-    # ops.solve.sdeint does (kw for dW, ku unused here) so a given seed
-    # draws the same Brownian path on the fused and scan paths.
+    # Brownian increments on the true H then zero-padded (zero padded
+    # lanes keep padded state exactly zero under any noise family). Split
+    # the key exactly like ops.solve.sdeint does (kw for dW, ku unused
+    # here) so a given seed draws the same Brownian path on the fused and
+    # scan paths.
     kw, _ = jax.random.split(key)
     dW = brownian_increments(kw, grid, (B, H), jnp.float32)
     dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
 
     t_lo = jnp.asarray(grid[:-1], jnp.float32)
-    # --- precompute step-dependent tensors (big MXU matmuls) ---
-    Xg = path.evaluate_grid(grid[:-1])                  # [M, B, C]
-    Xh = Xg @ field.initial_network.weight + field.initial_network.bias
-    Xh = _pad_to(Xh, Hp, 2).astype(stream_dtype)
-
     tf = jnp.stack([jnp.sin(t_lo), jnp.cos(t_lo)], axis=-1)  # [M, 2]
-    w_in = field.linear_in.weight                        # [(H+2)|H, H]
-    if time_emb:
-        Wt = w_in[:2]                                    # [2, H]
-        Wy = w_in[2:]                                    # [H, H]
-        a = tf @ Wt + field.linear_in.bias               # [M, H]
-    else:
-        Wy = w_in
-        a = jnp.broadcast_to(field.linear_in.bias, (M, H))
-    a = _pad_to(a, Hp, 1)[:, None, :]
 
-    # diffusion time net: relu(L2(relu(L1(tf))))
-    nt1, nt2 = field.noise_t
-    gk = jax.nn.relu(
-        jax.nn.relu(tf @ nt1.weight + nt1.bias) @ nt2.weight + nt2.bias
-    )                                                    # [M, H]
-    gk = _pad_to(gk, Hp, 1)[:, None, :]
+    streams = {}
+    params = {"theta": field.theta.astype(jnp.float32)}
 
-    params = {
-        "theta": field.theta.astype(jnp.float32),
-        "wy": _pad_to(_pad_to(Wy, Hp, 0), Hp, 1),
-        "we1": _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1),
-        "we2": _pad_to(_pad_to(field.emb.weight[H:], Hp, 0), Hp, 1),
-        "be": _pad_to(field.emb.bias, Hp, 0)[None],
-        "w_inner": tuple(
-            _pad_to(_pad_to(l.weight, Hp, 0), Hp, 1) for l in field.linears
-        ),
-        "b_inner": tuple(_pad_to(l.bias, Hp, 0)[None] for l in field.linears),
-        "wout": _pad_to(_pad_to(field.linear_out.weight, Hp, 0), Hp, 1),
-        "bo": _pad_to(field.linear_out.bias, Hp, 0)[None],
-    }
+    # --- drift precompute ---
+    if cfg["drift"] in ("xt", "emb"):
+        Xg = path.evaluate_grid(grid[:-1])               # [M, B, C]
+        Xh = Xg @ field.initial_network.weight + field.initial_network.bias
+        streams["xh"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
+    if cfg["drift"] != "xt":
+        w_in = field.linear_in.weight                    # [(H+2)|H, HH]
+        if time_emb:
+            Wt = w_in[:2]                                # [2, HH]
+            Wy = w_in[2:]                                # [H, HH]
+            a = tf @ Wt + field.linear_in.bias           # [M, HH]
+        else:
+            Wy = w_in
+            a = jnp.broadcast_to(field.linear_in.bias,
+                                 (M, w_in.shape[1]))
+        params["wy"] = _pad_to(_pad_to(Wy, Hp, 0), Hp, 1)
+        streams["a"] = _pad_to(a, Hp, 1)[:, None, :]
+    if cfg["drift"] == "emb":
+        params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)
+        params["we2"] = _pad_to(_pad_to(field.emb.weight[H:], Hp, 0), Hp, 1)
+        params["be"] = _pad_to(field.emb.bias, Hp, 0)[None]
+
+    params["w_inner"] = tuple(
+        _pad_to(_pad_to(l.weight, Hp, 0), Hp, 1) for l in field.linears
+    )
+    params["b_inner"] = tuple(
+        _pad_to(l.bias, Hp, 0)[None] for l in field.linears
+    )
+    params["wout"] = _pad_to(_pad_to(field.linear_out.weight, Hp, 0), Hp, 1)
+    params["bo"] = _pad_to(field.linear_out.bias, Hp, 0)[None]
+
+    # --- diffusion precompute ---
+    if cfg["noise"] == "precomp":
+        tcol = t_lo[:, None]                             # [M, 1]
+        if no == 0:
+            gk = jnp.zeros((M, H))
+        elif no in (1, 2, 3):
+            gk = jnp.broadcast_to(jnp.exp(field.sigma), (M, H))
+            if no == 2:
+                gk = gk * tcol
+        elif no in (4, 5, 6):
+            gk = jnp.broadcast_to(jnp.exp(field.sigma_diag), (M, H))
+            if no == 5:
+                gk = gk * tcol
+        elif no == 11:
+            gk = jnp.broadcast_to(tcol, (M, H))
+        elif no in (12, 13):
+            n1 = field.noise_t[0]
+            gk = tf @ n1.weight + n1.bias
+        else:                                            # 16, 17
+            nt1, nt2 = field.noise_t
+            gk = jax.nn.relu(
+                jax.nn.relu(tf @ nt1.weight + nt1.bias) @ nt2.weight
+                + nt2.bias
+            )
+        streams["gk"] = _pad_to(gk, Hp, 1)[:, None, :]
+    elif cfg["noise"] in ("net1", "net2"):
+        n1 = field.noise_y[0]
+        Wt_n = n1.weight[:2]                             # [2, H]
+        Wy_n = n1.weight[2:]                             # [H, H]
+        an1 = tf @ Wt_n + n1.bias                        # [M, H]
+        params["wn1"] = _pad_to(_pad_to(Wy_n, Hp, 0), Hp, 1)
+        streams["an1"] = _pad_to(an1, Hp, 1)[:, None, :]
+        if cfg["noise"] == "net2":
+            n2 = field.noise_y[1]
+            params["wn2"] = _pad_to(_pad_to(n2.weight, Hp, 0), Hp, 1)
+            params["bn2"] = _pad_to(n2.bias, Hp, 0)[None]
+
+    if mm_bf16:
+        # Pre-cast weight matrices to bf16 once, OUTSIDE the kernel — the
+        # in-kernel per-step cast of [128,128] weights costs more VPU time
+        # than the MXU saves (measured). Biases/theta stay f32 (added
+        # after f32 accumulation); _dot's astype on bf16 input is elided.
+        for k_ in ("wy", "we1", "we2", "wout", "wn1", "wn2"):
+            if k_ in params:
+                params[k_] = params[k_].astype(jnp.bfloat16)
+        params["w_inner"] = tuple(
+            w.astype(jnp.bfloat16) for w in params["w_inner"]
+        )
 
     y0p = _pad_to(y0.astype(jnp.float32), Hp, 1)
-    dts_tuple = tuple(np.diff(grid).astype(np.float32).tolist())
-    ys = _fused_em(params, Xh, a, gk, dW, y0p, dts_tuple, n_inner,
-                   geometric, mult_y)
-    full = jnp.concatenate([y0p[None].astype(ys.dtype), ys], axis=0)
+
+    # Multi-step unrolling: U solver steps per Pallas grid iteration.
+    # A/B on v5e showed the step is per-iteration latency-bound (tiny
+    # matmuls), so amortizing grid bookkeeping + per-step DMAs across U
+    # steps is the dominant lever. Steps are padded to a multiple of U
+    # with dt=0, dW=0 identity steps (exact: y + f*0 + g*0 = y; their
+    # cotangents are likewise exactly zero).
+    U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
+    U = max(1, min(U, M))
+    Mp = _round_up(M, U)
+    pad_steps = Mp - M
+    dts_list = np.diff(grid).astype(np.float32).tolist()
+    if pad_steps:
+        dW = jnp.pad(dW, ((0, pad_steps), (0, 0), (0, 0)))
+        streams = {
+            k: jnp.pad(v, ((0, pad_steps),) + ((0, 0),) * (v.ndim - 1))
+            for k, v in streams.items()
+        }
+        dts_list += [0.0] * pad_steps
+    dts_tuple = tuple(dts_list)
+    ys = _fused_em(params, streams, dW, y0p, dts_tuple, (io, no, mm_bf16),
+                   n_inner, U)
+    full = jnp.concatenate([y0p[None].astype(ys.dtype), ys[:M]], axis=0)
     return full[jnp.asarray(out_idx)][..., :H].astype(jnp.float32)

@@ -44,29 +44,44 @@ __all__ = [
 # Grid construction (host-side, concrete)
 # ---------------------------------------------------------------------------
 
-def make_grid(ts, dt: Optional[float]) -> Tuple[np.ndarray, np.ndarray]:
+def make_grid(ts, dt: Optional[float],
+              mode: str = "equal") -> Tuple[np.ndarray, np.ndarray]:
     """Build the solver step grid and output-time indices.
 
     ts: [T] concrete (numpy/list) strictly increasing output times.
     dt: max step size; None -> step exactly on ts.
+    mode: 'equal' (default) subdivides each [ts[i], ts[i+1]] into
+        ceil(span/dt) EQUAL steps — same step count and convergence order
+        as torchsde, kinder to XLA because step sizes vary less.
+        'torchsde' reproduces torchsde's fixed-grid stepping exactly:
+        full steps of size dt from ts[i], then one truncated step landing
+        on ts[i+1] — use for step-for-step pathwise parity with torchsde
+        on dt-subdivided grids.
 
     Returns (grid [M+1] float array containing every ts point,
              out_idx [T] int array with grid[out_idx] == ts).
-
-    Mirrors torchsde's fixed-grid stepping: within [ts[i], ts[i+1]] take
-    ceil(span/dt) equal steps (torchsde truncates the last step; equal
-    subdivision hits the same order of accuracy with identical step count
-    and is kinder to XLA because step sizes vary less).
     """
     ts = np.asarray(jax.device_get(ts), dtype=np.float64)
     if ts.ndim != 1 or ts.shape[0] < 2:
         raise ValueError("ts must be 1-D with at least two times")
+    if mode not in ("equal", "torchsde"):
+        raise ValueError(f"unknown grid mode {mode!r}")
     pieces = [np.array([ts[0]])]
     for t0, t1 in zip(ts[:-1], ts[1:]):
         span = t1 - t0
-        n = 1 if dt is None else max(int(np.ceil(span / dt - 1e-9)), 1)
-        piece = t0 + span * np.arange(1, n + 1) / n
-        piece[-1] = t1  # land exactly on the output time (fp guard)
+        if dt is None:
+            piece = np.array([t1])
+        elif mode == "equal":
+            n = max(int(np.ceil(span / dt - 1e-9)), 1)
+            piece = t0 + span * np.arange(1, n + 1) / n
+            piece[-1] = t1  # land exactly on the output time (fp guard)
+        else:
+            # torchsde: full dt steps, then truncate onto t1
+            n_full = int(np.floor(span / dt + 1e-9))
+            inner = t0 + dt * np.arange(1, n_full + 1)
+            if n_full and inner[-1] >= t1 - 1e-9 * max(abs(t1), 1.0):
+                inner = inner[:-1]
+            piece = np.concatenate([inner, [t1]])
         pieces.append(piece)
     grid = np.concatenate(pieces)
     out_idx = np.searchsorted(grid, ts)
@@ -242,6 +257,7 @@ def sdeint(
     method: str = "euler",
     remat: bool = True,
     return_brownian: bool = False,
+    grid_mode: str = "equal",
 ):
     """Integrate dy = f(t,y) dt + g(t,y) dW over output times ts.
 
@@ -253,6 +269,8 @@ def sdeint(
     bm:     pre-sampled BrownianGrid (for noise-injection parity tests).
     dt:     max step size (None -> step exactly on ts).
     method: euler | milstein | heun | srk.
+    grid_mode: 'equal' | 'torchsde' (see make_grid) — 'torchsde' gives
+        step-for-step pathwise parity with torchsde on subdivided grids.
 
     Returns ys: [T, ...y0.shape] (time-major, torchsde convention).
     """
@@ -273,7 +291,7 @@ def sdeint(
     else:
         if key is None:
             raise ValueError("sdeint needs either key= or bm=")
-        grid, out_idx = make_grid(ts, dt)
+        grid, out_idx = make_grid(ts, dt, mode=grid_mode)
         shape = jnp.shape(y0)
         kw, ku = jax.random.split(key)
         dW = brownian_increments(kw, grid, shape, jnp.result_type(y0))

@@ -248,3 +248,25 @@ def test_reversible_heun_algebraic_reversibility():
     # ŷ_{n+1} = 2y − ŷ + f(ŷ)h + g(ŷ)dw  =>  ŷ = 2y − ŷ_{n+1} + f h + g dw
     np.testing.assert_allclose(np.asarray(yh_back), np.asarray(yh),
                                atol=1e-5)
+
+
+def test_make_grid_torchsde_mode():
+    """grid_mode='torchsde' reproduces torchsde's fixed-grid stepping:
+    full dt steps then one truncated step onto each output time (vs the
+    default equal subdivision)."""
+    from snsde.ops.solve import make_grid
+
+    ts = np.array([0.0, 1.0], np.float64)
+    g_eq, _ = make_grid(ts, dt=0.3, mode="equal")
+    g_tsde, idx = make_grid(ts, dt=0.3, mode="torchsde")
+    # equal: 4 equal steps of 0.25
+    np.testing.assert_allclose(np.diff(g_eq), 0.25)
+    # torchsde: 0.3, 0.3, 0.3, then truncated 0.1
+    np.testing.assert_allclose(np.diff(g_tsde), [0.3, 0.3, 0.3, 0.1],
+                               atol=1e-12)
+    np.testing.assert_allclose(g_tsde[idx], ts)
+    # exact divisibility: no degenerate zero-length step
+    g2, _ = make_grid(ts, dt=0.25, mode="torchsde")
+    np.testing.assert_allclose(np.diff(g2), 0.25)
+    with np.testing.assert_raises(ValueError):
+        make_grid(ts, dt=0.3, mode="bogus")
