@@ -41,6 +41,9 @@ HIDDEN = 49
 LAYERS = 2
 WARMUP = 5
 ITERS = 50
+# Headline is the flagship LNSDE; SNSDE_BENCH_MODEL switches to any other
+# grid name (e.g. neuralsde_3_18, naivesde) for named-baseline lines.
+MODEL = os.environ.get("SNSDE_BENCH_MODEL", "neurallnsde")
 
 
 def main():
@@ -79,7 +82,7 @@ def main():
     final_index = jnp.full((BATCH,), LENGTH - 1, jnp.int32)
 
     model, _ = make_sde_model(
-        key, "neurallnsde", input_channels=CHANNELS, hidden_channels=HIDDEN,
+        key, MODEL, input_channels=CHANNELS, hidden_channels=HIDDEN,
         hidden_hidden_channels=HIDDEN, num_hidden_layers=LAYERS,
         output_channels=1,
     )
@@ -158,7 +161,8 @@ def main():
         json.dumps(
             {
                 "metric": "EM solver steps/sec/chip (train fwd+bwd+adam, "
-                          "B=1024, L=72, H=49, LNSDE)",
+                          f"B=1024, L=72, H=49, "
+                          f"{'LNSDE' if MODEL == 'neurallnsde' else MODEL})",
                 "value": round(em_steps_per_sec, 1),
                 "unit": "solver_steps*samples/sec",
                 "vs_baseline": round(vs_baseline, 3),

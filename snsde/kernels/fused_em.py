@@ -98,7 +98,8 @@ _PRECOMP_NO = {0, 1, 2, 3, 4, 5, 6, 11, 12, 13, 16, 17}
 _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 
 
-def _config(io: int, no: int, mm_bf16: bool = False):
+def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
+            h_true: int = 0, traj_bf16: bool = False):
     drift = _DRIFT_BY_IO[io]
     geometric = io in (5, 6)
     if no in _PRECOMP_NO:
@@ -116,6 +117,13 @@ def _config(io: int, no: int, mm_bf16: bool = False):
         "elem": _ELEM_BY_NO.get(no),
         "mult_y": no in _MULT_Y_NO,
         "mm_bf16": mm_bf16,
+        # in-kernel Brownian sampling (hardware PRNG + Box–Muller): drops
+        # the [M,B,H] dW HBM stream; h_true = unpadded hidden width so
+        # padded lanes stay identically zero
+        "rng": rng,
+        "h_true": h_true,
+        # dtype of the large per-step streams / saved trajectory
+        "traj_bf16": traj_bf16,
     }
 
 
@@ -149,7 +157,7 @@ def _fwd_input_names(cfg, n_inner):
         names += ["wn1", "an1"]
         if cfg["noise"] == "net2":
             names += ["wn2", "bn2"]
-    names += ["dw", "dts"]
+    names += (["seed"] if cfg["rng"] else ["dw"]) + ["dts"]
     return names
 
 
@@ -232,6 +240,45 @@ def _noise_forward(cfg, r, y):
     return graw, base, aux
 
 
+def _gen_dw(cfg, r, b, kf, U, block_b, Hp):
+    """In-kernel Brownian increments for the U steps of forward-block kf.
+
+    Seeds the per-core hardware PRNG deterministically from
+    (seed, batch-block, step-block) — the backward kernel re-seeds with
+    the same triple and regenerates bit-identical increments, so no dW
+    ever touches HBM. Box–Muller converts 24-bit uniforms to normals
+    (exact up to a ~5.8-sigma tail clip from the 2^-24 quantization);
+    each is scaled by sqrt(dt_u), which also zeroes the dt=0 padding
+    steps, and padded lanes beyond h_true are masked to keep padded
+    state identically zero."""
+    # Mosaic supports at most 2 seed values: fold (batch-block,
+    # step-block) into one distinct scalar (kf < nk by construction)
+    nk = pl.num_programs(1)
+    pltpu.prng_seed(r["seed"][0], b * nk + kf)
+    # Each Box–Muller pair yields TWO independent normals (cos and sin
+    # companions) — halves the VPU transcendental work per increment
+    half = (U + 1) // 2
+    shape = (half, block_b, Hp)
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    # 24-bit mantissa uniforms in (0, 1]; the +1 offset avoids log(0)
+    u1 = ((b1 & 0xFFFFFF).astype(jnp.float32) + 1.0) * (2.0 ** -24)
+    u2 = (b2 & 0xFFFFFF).astype(jnp.float32) * (2.0 ** -24)
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = (2.0 * np.pi) * u2
+    lane_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_b, Hp), 1)
+        < cfg["h_true"]
+    )
+    dws = []
+    for u in range(U):
+        z = (rad[u // 2] * jnp.cos(ang[u // 2]) if u % 2 == 0
+             else rad[u // 2] * jnp.sin(ang[u // 2]))
+        sdt = jnp.sqrt(r["dts"][kf * U + u, 0])
+        dws.append(jnp.where(lane_ok, z * sdt, 0.0))
+    return dws
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -252,6 +299,7 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
     r = dict(zip(names, refs[: len(names)]))
     ys_ref, y_scr = refs[len(names) :]
 
+    b = pl.program_id(0)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -260,6 +308,9 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
 
     y = y_scr[:]
     s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    if cfg["rng"]:
+        block_b, Hp = y_scr.shape
+        dws = _gen_dw(cfg, r, b, k, U, block_b, Hp)
     # U solver steps per grid iteration (statically unrolled): amortizes
     # the per-iteration latency that dominates at these tiny matmul sizes.
     for u in range(U):
@@ -267,8 +318,8 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
         f, _ = _drift_forward(cfg, n_inner, ru, y)
         graw, _, _ = _noise_forward(cfg, ru, y)
         g = jnp.tanh(s_theta * graw)
-        y = y + f * r["dts"][k * U + u, 0] + \
-            g * r["dw"][u].astype(jnp.float32)
+        dw = dws[u] if cfg["rng"] else r["dw"][u].astype(jnp.float32)
+        y = y + f * r["dts"][k * U + u, 0] + g * dw
         ys_ref[u] = y.astype(ys_ref.dtype)
     y_scr[:] = y
 
@@ -293,6 +344,7 @@ def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
                            memory_space=pltpu.VMEM),
         "yprev": s3, "gys": s3,
         "xh": s3, "a": s2, "gk": s2, "an1": s2, "dw": s3,
+        "seed": pl.BlockSpec(memory_space=pltpu.SMEM),
         "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
         "theta": pl.BlockSpec((1, 1), lambda b, k: (0, 0),
                               memory_space=pltpu.SMEM),
@@ -310,12 +362,16 @@ def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
 
 def _fused_em_forward(params, streams, dw, dts, y0, *, cfg, n_inner,
                       block_b, unroll):
-    M, B, H = dw.shape
+    # dw is the [M,B,H] Brownian stream, or the [1] int32 PRNG seed in
+    # in-kernel-RNG mode
+    M = dts.shape[0]
+    B, H = y0.shape
     U = unroll
     nk = M // U
     nb = B // block_b
     names = _fwd_input_names(cfg, n_inner)
-    vals = {"y0": y0, "dw": dw, "dts": dts, **_flatten_params(params),
+    key_in = "seed" if cfg["rng"] else "dw"
+    vals = {"y0": y0, key_in: dw, "dts": dts, **_flatten_params(params),
             **streams}
     args = [vals[n] for n in names]
     in_specs = _specs_for(names, cfg, nk, B, H, block_b, U)
@@ -329,8 +385,10 @@ def _fused_em_forward(params, streams, dw, dts, y0, *, cfg, n_inner,
         grid=(nb, nk),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((M, B, H), streams.get(
-            "xh", dw).dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, B, H),
+            jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32,
+        ),
         scratch_shapes=[pltpu.VMEM((block_b, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -389,6 +447,12 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
     gbar = gbar_scr[:]
     dth = dth_scr[0, 0]
     s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    if cfg["rng"]:
+        # re-seed with the same (seed, batch-block, forward-step-block)
+        # triple as the forward kernel -> bit-identical increments
+        block_b, Hp = gbar_scr.shape
+        dws = _gen_dw(cfg, r, pl.program_id(0), nk - 1 - k, U, block_b,
+                      Hp)
 
     # U steps per grid iteration, reverse time within the block
     for u in range(U - 1, -1, -1):
@@ -403,7 +467,7 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         g = jnp.tanh(s_theta * graw)
 
         dt = r["dts"][(nk - 1 - k) * U + u, 0]
-        dw = r["dw"][u].astype(jnp.float32)
+        dw = dws[u] if cfg["rng"] else r["dw"][u].astype(jnp.float32)
 
         # ---- backward through the step ----
         df = gbar * dt
@@ -504,7 +568,7 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
 
 def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
                        n_inner, block_b, unroll):
-    M, B, H = dw.shape
+    M, B, H = ys.shape
     U = unroll
     nk = M // U
     nb = B // block_b
@@ -514,13 +578,14 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
 
     in_names = (["yprev", "gys"]
                 + [n for n in _fwd_input_names(cfg, n_inner) if n != "y0"])
-    vals = {"yprev": traj[:-1], "gys": gys[1:], "dw": dw, "dts": dts,
+    vals = {"yprev": traj[:-1], "gys": gys[1:], "dts": dts,
+            ("seed" if cfg["rng"] else "dw"): dw,
             **_flatten_params(params), **streams}
     args = [vals[n] for n in in_names]
     in_specs = _specs_for(in_names, cfg, nk, B, H, block_b, U, reverse=True)
 
     out_names = _bwd_output_names(cfg, n_inner)
-    stream_dtype = streams.get("xh", dw).dtype
+    stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
     shape_by = {
         "dxh": ((M, B, H), stream_dtype,
                 pl.BlockSpec((U, block_b, H),
@@ -636,7 +701,7 @@ def _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
     dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
     return _fused_em_forward(params, streams, dw, dts, y0, cfg=cfg,
                              n_inner=n_inner,
-                             block_b=_pick_block(dw.shape[1]),
+                             block_b=_pick_block(y0.shape[0]),
                              unroll=unroll)
 
 
@@ -664,7 +729,7 @@ def _fused_em_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
     dparams, dstreams, dy0 = _fused_em_backward(
         params, streams, dw, dts, y0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        cfg=cfg, n_inner=n_inner, block_b=_pick_block(dw.shape[1]),
+        cfg=cfg, n_inner=n_inner, block_b=_pick_block(y0.shape[0]),
         unroll=unroll,
     )
     # zero cotangents for any stream the kernel does not differentiate
@@ -674,7 +739,12 @@ def _fused_em_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
     for k, v in params.items():
         if k not in dparams:
             dparams[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
-    ddw = jnp.zeros_like(dw)     # noise is not differentiated
+    # noise is not differentiated; the in-kernel-RNG seed is integer, and
+    # custom_vjp requires float0 cotangents for integer primals
+    if jnp.issubdtype(dw.dtype, jnp.integer):
+        ddw = np.zeros(dw.shape, dtype=jax.dtypes.float0)
+    else:
+        ddw = jnp.zeros_like(dw)
     return dparams, dstreams, ddw, dy0
 
 
@@ -735,17 +805,34 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # bit-level parity with the scan path; the bench and production
     # training set SNSDE_FUSED_MATMUL=bf16.
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
-    cfg = _config(io, no, mm_bf16)
+    # In-kernel RNG (SNSDE_FUSED_RNG=1): Brownian increments are generated
+    # INSIDE the kernels from the hardware PRNG (regenerated bit-identically
+    # in the backward), so no [M,B,H] dW stream is built or read from HBM.
+    # Same key -> same path across calls, but the realization differs from
+    # the streamed/scan threefry draw — parity tests use streamed mode.
+    # TPU-only: the CPU interpret emulation returns zero bits.
+    rng_mode = (os.environ.get("SNSDE_FUSED_RNG", "0") == "1"
+                and not _interpret())
+    traj_bf16 = stream_dtype == jnp.bfloat16
+    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16)
+    cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
-    # Brownian increments on the true H then zero-padded (zero padded
-    # lanes keep padded state exactly zero under any noise family). Split
-    # the key exactly like ops.solve.sdeint does (kw for dW, ku unused
-    # here) so a given seed draws the same Brownian path on the fused and
-    # scan paths.
+    # Split the key exactly like ops.solve.sdeint does (kw for dW, ku
+    # unused here) so a given seed draws the same Brownian path on the
+    # fused and scan paths.
     kw, _ = jax.random.split(key)
-    dW = brownian_increments(kw, grid, (B, H), jnp.float32)
-    dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
+    if rng_mode:
+        # [1] int32 seed for the in-kernel PRNG, derived from the key so
+        # the key-stream contract (fold_in per train step) is preserved
+        dW = jax.lax.bitcast_convert_type(
+            jax.random.bits(kw, (1,), jnp.uint32), jnp.int32
+        )
+    else:
+        # Brownian increments on the true H then zero-padded (zero padded
+        # lanes keep padded state exactly zero under any noise family)
+        dW = brownian_increments(kw, grid, (B, H), jnp.float32)
+        dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
 
     t_lo = jnp.asarray(grid[:-1], jnp.float32)
     tf = jnp.stack([jnp.sin(t_lo), jnp.cos(t_lo)], axis=-1)  # [M, 2]
@@ -847,14 +934,15 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     pad_steps = Mp - M
     dts_list = np.diff(grid).astype(np.float32).tolist()
     if pad_steps:
-        dW = jnp.pad(dW, ((0, pad_steps), (0, 0), (0, 0)))
+        if not rng_mode:
+            dW = jnp.pad(dW, ((0, pad_steps), (0, 0), (0, 0)))
         streams = {
             k: jnp.pad(v, ((0, pad_steps),) + ((0, 0),) * (v.ndim - 1))
             for k, v in streams.items()
         }
         dts_list += [0.0] * pad_steps
     dts_tuple = tuple(dts_list)
-    ys = _fused_em(params, streams, dW, y0p, dts_tuple, (io, no, mm_bf16),
+    ys = _fused_em(params, streams, dW, y0p, dts_tuple, cfg_key,
                    n_inner, U)
     full = jnp.concatenate([y0p[None].astype(ys.dtype), ys[:M]], axis=0)
     return full[jnp.asarray(out_idx)][..., :H].astype(jnp.float32)

@@ -133,3 +133,61 @@ def test_bf16_streams_gradient_fidelity():
             continue
         denom = max(float(jnp.abs(a).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / denom < 3e-2
+
+
+@requires_tpu
+def test_in_kernel_rng_mode(monkeypatch):
+    """SNSDE_FUSED_RNG=1: Brownian increments generated in-kernel from the
+    hardware PRNG (no dW HBM stream). The realization differs from the
+    streamed threefry draw, so assertions are distributional + structural:
+    per-key determinism (incl. the backward's bit-identical regeneration),
+    key sensitivity, and terminal moments matching the streamed path
+    within Monte-Carlo error."""
+    from snsde.fields import DiffusionField
+    from snsde.kernels.fused_em import fused_em_solve
+    from snsde.models.neuralsde import resolve_dt
+    from snsde.nn.core import filter_value_and_grad
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+
+    rng = np.random.default_rng(0)
+    B, L, C, H = 2048, 12, 3, 8
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    X = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
+    path = CubicPath(coeffs, times)
+    y0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    field = DiffusionField.create(jax.random.PRNGKey(1), C, H, H, 1,
+                                  input_option=4, noise_option=17)
+    dt = resolve_dt(times)
+    kb = jax.random.PRNGKey(7)
+
+    def solve(f, key):
+        return fused_em_solve(f.bind(path), path, times, y0, key, dt=dt)
+
+    ys_stream = solve(field, kb)
+
+    monkeypatch.setenv("SNSDE_FUSED_RNG", "1")
+    ys1 = solve(field, kb)
+    ys2 = solve(field, kb)
+    assert bool(jnp.array_equal(ys1, ys2))
+    ys3 = solve(field, jax.random.PRNGKey(8))
+    assert not bool(jnp.array_equal(ys1, ys3))
+
+    # same SDE law as the streamed path: terminal mean within 3 MC
+    # standard errors, per-lane variance ratio near 1
+    mc = float(jnp.sqrt(jnp.mean(jnp.var(ys_stream[-1], 0)) / B))
+    mean_diff = float(jnp.max(jnp.abs(
+        jnp.mean(ys1[-1], 0) - jnp.mean(ys_stream[-1], 0))))
+    assert mean_diff < 3.0 * mc, (mean_diff, mc)
+    vr = jnp.var(ys1[-1], 0) / jnp.var(ys_stream[-1], 0)
+    assert float(jnp.max(vr)) < 1.25 and float(jnp.min(vr)) > 0.8
+
+    def loss(f, key):
+        return jnp.mean(solve(f, key) ** 2)
+
+    _, g1 = filter_value_and_grad(loss)(field, kb)
+    _, g2 = filter_value_and_grad(loss)(field, kb)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        assert bool(jnp.array_equal(a, b))
