@@ -42,8 +42,10 @@ LAYERS = 2
 WARMUP = 5
 ITERS = 50
 # Headline is the flagship LNSDE; SNSDE_BENCH_MODEL switches to any other
-# grid name (e.g. neuralsde_3_18, naivesde) for named-baseline lines.
+# grid name (e.g. neuralsde_3_18, naivesde) for named-baseline lines, and
+# SNSDE_BENCH_METHOD to another solver (srk = torch-ists default).
 MODEL = os.environ.get("SNSDE_BENCH_MODEL", "neurallnsde")
+METHOD = os.environ.get("SNSDE_BENCH_METHOD", "euler")
 
 
 def main():
@@ -84,7 +86,7 @@ def main():
     model, _ = make_sde_model(
         key, MODEL, input_channels=CHANNELS, hidden_channels=HIDDEN,
         hidden_hidden_channels=HIDDEN, num_hidden_layers=LAYERS,
-        output_channels=1,
+        output_channels=1, method=METHOD,
     )
 
     # single fused Adam update over the concatenated parameter vector
@@ -160,7 +162,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "EM solver steps/sec/chip (train fwd+bwd+adam, "
+                "metric": f"{'EM' if METHOD == 'euler' else METHOD.upper()}"
+                          " solver steps/sec/chip (train fwd+bwd+adam, "
                           f"B=1024, L=72, H=49, "
                           f"{'LNSDE' if MODEL == 'neurallnsde' else MODEL})",
                 "value": round(em_steps_per_sec, 1),

@@ -240,6 +240,101 @@ def _noise_forward(cfg, r, y):
     return graw, base, aux
 
 
+def _noise_bwd(cfg, r, y, base, naux, dgraw, o):
+    """Reverse one diffusion evaluation. dgraw = cotangent of the RAW
+    diffusion (before sigmoid(theta)/tanh bounding, which the caller
+    reverses). Accumulates noise-net weight grads into o; returns
+    (dy, extras) with extras holding per-step stream cotangents
+    ('dgk'/'dan1': [1, H]) for the caller to place. Shared by the fused
+    EM and SRK backward kernels."""
+    mm = cfg["mm_bf16"]
+    dy_diff = jnp.zeros_like(y)
+    if cfg["mult_y"]:
+        dbase = dgraw * y
+        dy_diff = dy_diff + dgraw * base
+    else:
+        dbase = dgraw
+    noise = cfg["noise"]
+    extras = {}
+    if noise == "precomp":
+        extras["dgk"] = jnp.sum(dbase, axis=0, keepdims=True)
+    elif noise == "elem":
+        e = cfg["elem"]
+        if e == "sqrt":
+            deriv = jnp.where(
+                y > 0.0, 0.5 * jax.lax.rsqrt(jnp.maximum(y, 1e-30)), 0.0
+            )
+        elif e == "cube":
+            deriv = 3.0 * y * y
+        elif e == "sigmoid":
+            s = jax.nn.sigmoid(y)
+            deriv = s * (1.0 - s)
+        else:
+            deriv = (y > 0.0).astype(jnp.float32)
+        dy_diff = dy_diff + dbase * deriv
+    elif noise == "net1":
+        o["dwn1"][0] += _dot(y.T, dbase, mm)
+        extras["dan1"] = jnp.sum(dbase, axis=0, keepdims=True)
+        dy_diff = dy_diff + _dot(dbase, r["wn1"][:].T, mm)
+    else:                            # net2
+        zn1, hn, zn2 = naux
+        dzn2 = dbase * (zn2 > 0.0)
+        o["dwn2"][0] += _dot(hn.T, dzn2, mm)
+        o["dbn2"][0] += jnp.sum(dzn2, axis=0, keepdims=True)
+        dhn = _dot(dzn2, r["wn2"][:].T, mm)
+        dzn1 = dhn * (zn1 > 0.0)
+        o["dwn1"][0] += _dot(y.T, dzn1, mm)
+        extras["dan1"] = jnp.sum(dzn1, axis=0, keepdims=True)
+        dy_diff = dy_diff + _dot(dzn1, r["wn1"][:].T, mm)
+    return dy_diff, extras
+
+
+def _drift_bwd(cfg, n_inner, r, y, aux, df, o):
+    """Reverse one drift evaluation. df = cotangent of f = tanh(z3).
+    Accumulates drift weight/bias grads into o; returns (dy, extras) with
+    per-step stream cotangents ('da': [1, H], 'dxh': [B, H]). Shared by
+    the fused EM and SRK backward kernels."""
+    mm = cfg["mm_bf16"]
+    z1, h_list, z_list, z3_lin, ty, f, yy, xh_blk = aux
+    dz3 = df * (1.0 - f * f)
+    if cfg["geometric"]:
+        dz3_lin = dz3 * ty
+        dy_geo = dz3 * z3_lin * (1.0 - ty * ty)
+    else:
+        dz3_lin = dz3
+        dy_geo = jnp.zeros_like(y)
+
+    o["dwout"][0] += _dot(h_list[-1].T, dz3_lin, mm)
+    o["dbo"][0] += jnp.sum(dz3_lin, axis=0, keepdims=True)
+    dh = _dot(dz3_lin, r["wout"][:].T, mm)
+    for idx in range(n_inner - 1, -1, -1):
+        dz = dh * (z_list[idx] > 0.0)
+        o[f"dw_inner{idx}"][0] += _dot(h_list[idx].T, dz, mm)
+        o[f"db_inner{idx}"][0] += jnp.sum(dz, axis=0, keepdims=True)
+        dh = _dot(dz, r[f"w_inner{idx}"][:].T, mm)
+    dz1 = dh * (z1 > 0.0)
+
+    drift = cfg["drift"]
+    extras = {}
+    dy_drift = jnp.zeros_like(y)
+    if drift == "xt":
+        extras["dxh"] = dz1
+    elif drift == "yy":
+        o["dwy"][0] += _dot(y.T, dz1, mm)
+        extras["da"] = jnp.sum(dz1, axis=0, keepdims=True)
+        dy_drift = _dot(dz1, r["wy"][:].T, mm)
+    else:                            # emb
+        o["dbe"][0] += jnp.sum(dz1, axis=0, keepdims=True)
+        dyy = _dot(dz1, r["we1"][:].T, mm)
+        extras["dxh"] = _dot(dz1, r["we2"][:].T, mm)
+        o["dwe1"][0] += _dot(yy.T, dz1, mm)
+        o["dwe2"][0] += _dot(xh_blk.T, dz1, mm)
+        o["dwy"][0] += _dot(y.T, dyy, mm)
+        extras["da"] = jnp.sum(dyy, axis=0, keepdims=True)
+        dy_drift = _dot(dyy, r["wy"][:].T, mm)
+    return dy_drift + dy_geo, extras
+
+
 def _gen_dw(cfg, r, b, kf, U, block_b, Hp):
     """In-kernel Brownian increments for the U steps of forward-block kf.
 
@@ -472,90 +567,26 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         # ---- backward through the step ----
         df = gbar * dt
         dg = gbar * dw
-        dz3 = df * (1.0 - f * f)
         dsg = dg * (1.0 - g * g)
         # d wrt s_theta and graw
         dth += jnp.sum(dsg * graw) * s_theta * (1.0 - s_theta)
         dgraw = dsg * s_theta
 
-        # -- diffusion backward --
-        dy_diff = jnp.zeros_like(y)
-        if cfg["mult_y"]:
-            dbase = dgraw * y
-            dy_diff = dy_diff + dgraw * base
-        else:
-            dbase = dgraw
-        noise = cfg["noise"]
-        if noise == "precomp":
-            o["dgk"][0, u] = jnp.sum(dbase, axis=0, keepdims=True)
-        elif noise == "elem":
-            e = cfg["elem"]
-            if e == "sqrt":
-                deriv = jnp.where(
-                    y > 0.0, 0.5 * jax.lax.rsqrt(jnp.maximum(y, 1e-30)),
-                    0.0
-                )
-            elif e == "cube":
-                deriv = 3.0 * y * y
-            elif e == "sigmoid":
-                s = jax.nn.sigmoid(y)
-                deriv = s * (1.0 - s)
-            else:
-                deriv = (y > 0.0).astype(jnp.float32)
-            dy_diff = dy_diff + dbase * deriv
-        elif noise == "net1":
-            o["dwn1"][0] += _dot(y.T, dbase, mm)
-            o["dan1"][0, u] = jnp.sum(dbase, axis=0, keepdims=True)
-            dy_diff = dy_diff + _dot(dbase, r["wn1"][:].T, mm)
-        else:                            # net2
-            zn1, hn, zn2 = naux
-            dzn2 = dbase * (zn2 > 0.0)
-            o["dwn2"][0] += _dot(hn.T, dzn2, mm)
-            o["dbn2"][0] += jnp.sum(dzn2, axis=0, keepdims=True)
-            dhn = _dot(dzn2, r["wn2"][:].T, mm)
-            dzn1 = dhn * (zn1 > 0.0)
-            o["dwn1"][0] += _dot(y.T, dzn1, mm)
-            o["dan1"][0, u] = jnp.sum(dzn1, axis=0, keepdims=True)
-            dy_diff = dy_diff + _dot(dzn1, r["wn1"][:].T, mm)
+        dy_diff, nex = _noise_bwd(cfg, ru, y, base, naux, dgraw, o)
+        if "dgk" in nex:
+            o["dgk"][0, u] = nex["dgk"]
+        if "dan1" in nex:
+            o["dan1"][0, u] = nex["dan1"]
 
-        # -- drift backward --
-        if cfg["geometric"]:
-            dz3_lin = dz3 * ty
-            dy_geo = dz3 * z3_lin * (1.0 - ty * ty)
-        else:
-            dz3_lin = dz3
-            dy_geo = jnp.zeros_like(y)
+        dy_drift, dex = _drift_bwd(cfg, n_inner, ru, y,
+                                   (z1, h_list, z_list, z3_lin, ty, f_,
+                                    yy, xh_blk), df, o)
+        if "da" in dex:
+            o["da"][0, u] = dex["da"]
+        if "dxh" in dex:
+            o["dxh"][u] = dex["dxh"].astype(o["dxh"].dtype)
 
-        o["dwout"][0] += _dot(h_list[-1].T, dz3_lin, mm)
-        o["dbo"][0] += jnp.sum(dz3_lin, axis=0, keepdims=True)
-        dh = _dot(dz3_lin, r["wout"][:].T, mm)
-        for idx in range(n_inner - 1, -1, -1):
-            dz = dh * (z_list[idx] > 0.0)
-            o[f"dw_inner{idx}"][0] += _dot(h_list[idx].T, dz, mm)
-            o[f"db_inner{idx}"][0] += jnp.sum(dz, axis=0, keepdims=True)
-            dh = _dot(dz, r[f"w_inner{idx}"][:].T, mm)
-        dz1 = dh * (z1 > 0.0)
-
-        drift = cfg["drift"]
-        dy_drift = jnp.zeros_like(y)
-        if drift == "xt":
-            o["dxh"][u] = dz1.astype(o["dxh"].dtype)
-        elif drift == "yy":
-            o["dwy"][0] += _dot(y.T, dz1, mm)
-            o["da"][0, u] = jnp.sum(dz1, axis=0, keepdims=True)
-            dy_drift = _dot(dz1, r["wy"][:].T, mm)
-        else:                            # emb
-            o["dbe"][0] += jnp.sum(dz1, axis=0, keepdims=True)
-            dyy = _dot(dz1, r["we1"][:].T, mm)
-            dxh = _dot(dz1, r["we2"][:].T, mm)
-            o["dwe1"][0] += _dot(yy.T, dz1, mm)
-            o["dwe2"][0] += _dot(xh_blk.T, dz1, mm)
-            o["dwy"][0] += _dot(y.T, dyy, mm)
-            o["da"][0, u] = jnp.sum(dyy, axis=0, keepdims=True)
-            o["dxh"][u] = dxh.astype(o["dxh"].dtype)
-            dy_drift = _dot(dyy, r["wy"][:].T, mm)
-
-        gbar = gbar + dy_drift + dy_diff + dy_geo
+        gbar = gbar + dy_drift + dy_diff
 
     gbar_scr[:] = gbar
     dth_scr[0, 0] = dth

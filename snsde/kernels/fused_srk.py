@@ -1,0 +1,743 @@
+"""Fused SRIW1 stochastic Runge–Kutta solver kernel (Pallas/TPU).
+
+`srk` is the DEFAULT solver for the reference's entire torch-ists stream
+family (/root/reference/torch-ists/torch_ists/diff_module/NSDE/
+nsde_model.py:63-69), so its hot loop deserves the same treatment as the
+Euler kernel (fused_em.py): the whole time loop on-chip, weights resident
+in VMEM, step streams pipelined via BlockSpecs.
+
+Scheme: Rößler SRIW1 (the tableau in ops/solve.py:_step_srk, pathwise-
+verified against torchsde's SRID2 on shared (dW, I10) in
+tests/test_solve.py). The tableau collapses nicely for fusion:
+
+  * drift stages 2/3 coincide with stage 0 (A0/B0 rows are zero and
+    c0 = 0), and alpha[2:] = 0 — only TWO distinct drift MLP evaluations
+    per step: f0 = f(t, y) and f1 = f(t + 3/4 dt, H0_1);
+  * four diffusion evaluations at three distinct stage times
+    (t, t + dt/4, t + dt) and four states (y, H1_1, H1_2, H1_3).
+
+Per-stage control/time features are precomputed outside the kernel (xh0/
+xh1 for the two drift stage times; a0/a1 time-bias rows; gk0/gk1/gk2 or
+an1_0/an1_1/an1_2 for the three noise stage times) exactly like the EM
+kernel. dW and the space-time Lévy area I10 stream in; dt=0 padding steps
+are exact identities (all stochastic increments zero, guarded 1/dt).
+
+Covers the same full input_option x noise_option grid as fused_em; the
+backward is a second Pallas kernel that recomputes all stage states from
+the saved trajectory and reverses the tableau using the shared
+_drift_bwd/_noise_bwd helpers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_em import (
+    LANE,
+    _config,
+    _drift_bwd,
+    _drift_forward,
+    _interpret,
+    _noise_bwd,
+    _noise_forward,
+    _pad_to,
+    _round_up,
+)
+
+__all__ = ["fused_srk_solve", "supports_fused_srk"]
+
+# SRIW1 y-update weights (ops/solve.py:_SRK_*): alpha for the two live
+# drift stages; beta rows evaluated as coeff_i over the 4 noise stages
+_ALPHA0, _ALPHA1 = 1.0 / 3.0, 2.0 / 3.0
+_BETA1 = (-1.0, 4.0 / 3.0, 2.0 / 3.0, 0.0)
+_BETA2 = (-1.0, 4.0 / 3.0, -1.0 / 3.0, 0.0)
+_BETA3 = (2.0, -4.0 / 3.0, -2.0 / 3.0, 0.0)
+_BETA4 = (-2.0, 5.0 / 3.0, -2.0 / 3.0, 1.0)
+# noise stage -> which of the 3 distinct stage times it evaluates at
+_NOISE_TIME = (0, 1, 2, 1)
+
+
+def _flatten_params(params):
+    flat = {}
+    for k, v in params.items():
+        if k in ("w_inner", "b_inner"):
+            for i, vi in enumerate(v):
+                flat[f"{k}{i}"] = vi
+        else:
+            flat[k] = v
+    return flat
+
+
+def _srk_input_names(cfg, n_inner):
+    names = ["y0"]
+    if cfg["drift"] in ("xt", "emb"):
+        names += ["xh0", "xh1"]
+    if cfg["drift"] != "xt":
+        names += ["wy", "a0", "a1"]
+    if cfg["drift"] == "emb":
+        names += ["we1", "we2", "be"]
+    names += [f"w_inner{i}" for i in range(n_inner)]
+    names += [f"b_inner{i}" for i in range(n_inner)]
+    names += ["wout", "bo", "theta"]
+    if cfg["noise"] == "precomp":
+        names += ["gk0", "gk1", "gk2"]
+    elif cfg["noise"] in ("net1", "net2"):
+        names += ["wn1", "an1_0", "an1_1", "an1_2"]
+        if cfg["noise"] == "net2":
+            names += ["wn2", "bn2"]
+    names += ["dw", "i10", "dts"]
+    return names
+
+
+def _srk_bwd_output_names(cfg, n_inner):
+    names = []
+    if cfg["drift"] in ("xt", "emb"):
+        names += ["dxh0", "dxh1"]
+    if cfg["drift"] != "xt":
+        names += ["dwy", "da0", "da1"]
+    if cfg["drift"] == "emb":
+        names += ["dwe1", "dwe2", "dbe"]
+    names += [f"dw_inner{i}" for i in range(n_inner)]
+    names += [f"db_inner{i}" for i in range(n_inner)]
+    names += ["dwout", "dbo", "dtheta"]
+    if cfg["noise"] == "precomp":
+        names += ["dgk0", "dgk1", "dgk2"]
+    elif cfg["noise"] in ("net1", "net2"):
+        names += ["dwn1", "dan1_0", "dan1_1", "dan1_2"]
+        if cfg["noise"] == "net2":
+            names += ["dwn2", "dbn2"]
+    names.append("dy0")
+    return names
+
+
+_STEP3 = ("xh0", "xh1", "dw", "i10")          # [M, B, H] streams
+_STEP2 = ("a0", "a1", "gk0", "gk1", "gk2", "an1_0", "an1_1", "an1_2")
+
+
+def _stage_view(r, u, *, drift_idx=None, noise_time=None):
+    """Per-stage dict for the shared fused_em helpers: maps the
+    stage-specific stream slice onto the canonical 'xh'/'a'/'gk'/'an1'
+    names the helpers expect."""
+    ru = dict(r)
+    if drift_idx is not None:
+        if f"xh{drift_idx}" in r:
+            ru["xh"] = r[f"xh{drift_idx}"][u]
+        if f"a{drift_idx}" in r:
+            ru["a"] = r[f"a{drift_idx}"][u]
+    if noise_time is not None:
+        if f"gk{noise_time}" in r:
+            ru["gk"] = r[f"gk{noise_time}"][u]
+        if f"an1_{noise_time}" in r:
+            ru["an1"] = r[f"an1_{noise_time}"][u]
+    return ru
+
+
+def _srk_step(cfg, n_inner, r, u, y, dt, s_theta):
+    """One SRIW1 step. Returns (y1, saves) with every stage state/aux the
+    backward needs (the backward calls this again to recompute)."""
+    f32 = jnp.float32
+    dw = r["dw"][u].astype(f32)
+    i10 = r["i10"][u].astype(f32)
+    sqrt_dt = jnp.sqrt(dt)
+    # dt=0 padding steps: guarded reciprocals keep them exact identities
+    rdt = jnp.where(dt > 0.0, 1.0 / jnp.maximum(dt, 1e-30), 0.0)
+    rsq = jnp.where(dt > 0.0,
+                    1.0 / jnp.maximum(sqrt_dt, 1e-30), 0.0)
+
+    r_f0 = _stage_view(r, u, drift_idx=0)
+    f0, auxf0 = _drift_forward(cfg, n_inner, r_f0, y)
+
+    def g_eval(t_idx, state):
+        rv = _stage_view(r, u, noise_time=t_idx)
+        graw, base, naux = _noise_forward(cfg, rv, state)
+        g = jnp.tanh(s_theta * graw)
+        return g, (graw, base, naux)
+
+    g0, s0 = g_eval(0, y)
+    H1_1 = y + 0.25 * dt * f0 + 0.5 * sqrt_dt * g0
+    g1, s1 = g_eval(1, H1_1)
+    H1_2 = y + dt * f0 - sqrt_dt * g0
+    g2, s2 = g_eval(2, H1_2)
+    H1_3 = y + 0.25 * dt * f0 + sqrt_dt * (
+        -5.0 * g0 + 3.0 * g1 + 0.5 * g2
+    )
+    g3, s3 = g_eval(1, H1_3)
+    H0_1 = y + 0.75 * dt * f0 + 1.5 * (i10 * rdt) * g0
+    r_f1 = _stage_view(r, u, drift_idx=1)
+    f1, auxf1 = _drift_forward(cfg, n_inner, r_f1, H0_1)
+
+    I1 = dw
+    I11s = 0.5 * (dw * dw - dt) * rsq           # I11 / sqrt(dt)
+    I111r = (dw * dw * dw - 3.0 * dt * dw) * (rdt / 6.0)
+    I10r = i10 * rdt
+    coeffs = [
+        _BETA1[i] * I1 + _BETA2[i] * I11s + _BETA3[i] * I10r
+        + _BETA4[i] * I111r
+        for i in range(4)
+    ]
+    y1 = y + dt * (_ALPHA0 * f0 + _ALPHA1 * f1)
+    for c, g in zip(coeffs, (g0, g1, g2, g3)):
+        y1 = y1 + c * g
+
+    saves = (dw, i10, sqrt_dt, rdt, f0, auxf0, f1, auxf1,
+             (g0, g1, g2, g3), (s0, s1, s2, s3),
+             (H1_1, H1_2, H1_3, H0_1), coeffs)
+    return y1, saves
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(cfg, n_inner, U, names, *refs):
+    r = dict(zip(names, refs[: len(names)]))
+    ys_ref, y_scr = refs[len(names) :]
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        y_scr[:] = r["y0"][:]
+
+    y = y_scr[:]
+    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    for u in range(U):
+        dt = r["dts"][k * U + u, 0]
+        y, _ = _srk_step(cfg, n_inner, r, u, y, dt, s_theta)
+        ys_ref[u] = y.astype(ys_ref.dtype)
+    y_scr[:] = y
+
+
+def _specs_for(names, nk, B, H, block_b, U, reverse=False):
+    if reverse:
+        s3 = pl.BlockSpec((U, block_b, H), lambda b, k: (nk - 1 - k, b, 0),
+                          memory_space=pltpu.VMEM)
+        s2 = pl.BlockSpec((U, 1, H), lambda b, k: (nk - 1 - k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    else:
+        s3 = pl.BlockSpec((U, block_b, H), lambda b, k: (k, b, 0),
+                          memory_space=pltpu.VMEM)
+        s2 = pl.BlockSpec((U, 1, H), lambda b, k: (k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((H, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM)
+    bsp = pl.BlockSpec((1, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM)
+    by_name = {
+        "y0": pl.BlockSpec((block_b, H), lambda b, k: (b, 0),
+                           memory_space=pltpu.VMEM),
+        "yprev": s3, "gys": s3,
+        "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
+        "theta": pl.BlockSpec((1, 1), lambda b, k: (0, 0),
+                              memory_space=pltpu.SMEM),
+    }
+    for n in _STEP3:
+        by_name[n] = s3
+    for n in _STEP2:
+        by_name[n] = s2
+    out = []
+    for n in names:
+        if n in by_name:
+            out.append(by_name[n])
+        elif n.startswith("b_inner") or n in ("be", "bo", "bn2"):
+            out.append(bsp)
+        else:                         # square weights
+            out.append(w)
+    return out
+
+
+def _fused_srk_forward(params, streams, dts, y0, *, cfg, n_inner,
+                       block_b, unroll):
+    M = dts.shape[0]
+    B, H = y0.shape
+    U = unroll
+    nk = M // U
+    nb = B // block_b
+    names = _srk_input_names(cfg, n_inner)
+    vals = {"y0": y0, "dts": dts, **_flatten_params(params), **streams}
+    args = [vals[n] for n in names]
+    in_specs = _specs_for(names, nk, B, H, block_b, U)
+
+    out_spec = pl.BlockSpec(
+        (U, block_b, H), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_fwd_kernel, cfg, n_inner, U, names)
+    ys = pl.pallas_call(
+        kernel,
+        grid=(nb, nk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (M, B, H),
+            jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_b, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return ys
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
+    n_in = len(in_names)
+    n_out = len(out_names)
+    r = dict(zip(in_names, refs[:n_in]))
+    o = dict(zip(out_names, refs[n_in : n_in + n_out]))
+    gbar_scr, dth_scr = refs[n_in + n_out :]
+
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    acc_names = [n for n in out_names
+                 if n not in ("dxh0", "dxh1", "da0", "da1", "dgk0", "dgk1",
+                              "dgk2", "dan1_0", "dan1_1", "dan1_2", "dy0",
+                              "dtheta")]
+
+    @pl.when(k == 0)
+    def _():
+        gbar_scr[:] = jnp.zeros_like(gbar_scr)
+        dth_scr[0, 0] = 0.0
+        for n in acc_names:
+            o[n][0] = jnp.zeros_like(o[n][0])
+
+    gbar = gbar_scr[:]
+    dth = dth_scr[0, 0]
+    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    ds_dtheta = s_theta * (1.0 - s_theta)
+
+    for u in range(U - 1, -1, -1):
+        gbar = gbar + r["gys"][u].astype(jnp.float32)
+        y = r["yprev"][u].astype(jnp.float32)
+        dt = r["dts"][(nk - 1 - k) * U + u, 0]
+
+        # recompute every stage of the forward step
+        _, saves = _srk_step(cfg, n_inner, r, u, y, dt, s_theta)
+        (dw, i10, sqrt_dt, rdt, f0, auxf0, f1, auxf1, gs, noise_saves,
+         states, coeffs) = saves
+        H1_1, H1_2, H1_3, H0_1 = states
+
+        # ---- reverse the y-update ----
+        df0 = gbar * (_ALPHA0 * dt)
+        df1 = gbar * (_ALPHA1 * dt)
+        dgs = [gbar * c for c in coeffs]
+        dy = gbar                                 # direct y term
+
+        def g_bwd(stage, state, dg_stage):
+            """Reverse one diffusion stage; returns dstate."""
+            nonlocal dth
+            graw, base, naux = noise_saves[stage]
+            g = gs[stage]
+            dsg = dg_stage * (1.0 - g * g)
+            dth += jnp.sum(dsg * graw) * ds_dtheta
+            dgraw = dsg * s_theta
+            rv = _stage_view(r, u, noise_time=_NOISE_TIME[stage])
+            dstate, nex = _noise_bwd(cfg, rv, state, base, naux, dgraw, o)
+            t_idx = _NOISE_TIME[stage]
+            if "dgk" in nex:
+                o[f"dgk{t_idx}"][0, u] += nex["dgk"]
+            if "dan1" in nex:
+                o[f"dan1_{t_idx}"][0, u] += nex["dan1"]
+            return dstate
+
+        # noise-stage stream cotangents accumulate across stages sharing a
+        # stage time (1 and 3) — zero the per-step rows first
+        for t_idx in (0, 1, 2):
+            if f"dgk{t_idx}" in o:
+                o[f"dgk{t_idx}"][0, u] = jnp.zeros_like(o[f"dgk{t_idx}"][0, u])
+            if f"dan1_{t_idx}" in o:
+                o[f"dan1_{t_idx}"][0, u] = jnp.zeros_like(
+                    o[f"dan1_{t_idx}"][0, u])
+
+        # stage f1 (state H0_1 = y + 3/4 dt f0 + 3/2 (I10/dt) g0)
+        r_f1 = _stage_view(r, u, drift_idx=1)
+        dH01, dex1 = _drift_bwd(cfg, n_inner, r_f1, H0_1, auxf1, df1, o)
+        dy = dy + dH01
+        df0 = df0 + 0.75 * dt * dH01
+        dgs[0] = dgs[0] + 1.5 * (i10 * rdt) * dH01
+        if "da" in dex1:
+            o["da1"][0, u] = dex1["da"]
+        if "dxh" in dex1:
+            o["dxh1"][u] = dex1["dxh"].astype(o["dxh1"].dtype)
+
+        # stage g3 (state H1_3 = y + 1/4 dt f0 + sqrt_dt(-5 g0 + 3 g1 + ½ g2))
+        dH13 = g_bwd(3, H1_3, dgs[3])
+        dy = dy + dH13
+        df0 = df0 + 0.25 * dt * dH13
+        dgs[0] = dgs[0] - 5.0 * sqrt_dt * dH13
+        dgs[1] = dgs[1] + 3.0 * sqrt_dt * dH13
+        dgs[2] = dgs[2] + 0.5 * sqrt_dt * dH13
+
+        # stage g2 (state H1_2 = y + dt f0 − sqrt_dt g0)
+        dH12 = g_bwd(2, H1_2, dgs[2])
+        dy = dy + dH12
+        df0 = df0 + dt * dH12
+        dgs[0] = dgs[0] - sqrt_dt * dH12
+
+        # stage g1 (state H1_1 = y + 1/4 dt f0 + ½ sqrt_dt g0)
+        dH11 = g_bwd(1, H1_1, dgs[1])
+        dy = dy + dH11
+        df0 = df0 + 0.25 * dt * dH11
+        dgs[0] = dgs[0] + 0.5 * sqrt_dt * dH11
+
+        # stage g0 (state y)
+        dy = dy + g_bwd(0, y, dgs[0])
+
+        # stage f0 (state y)
+        r_f0 = _stage_view(r, u, drift_idx=0)
+        dyf0, dex0 = _drift_bwd(cfg, n_inner, r_f0, y, auxf0, df0, o)
+        dy = dy + dyf0
+        if "da" in dex0:
+            o["da0"][0, u] = dex0["da"]
+        if "dxh" in dex0:
+            o["dxh0"][u] = dex0["dxh"].astype(o["dxh0"].dtype)
+
+        gbar = dy
+
+    gbar_scr[:] = gbar
+    dth_scr[0, 0] = dth
+
+    @pl.when(k == nk - 1)
+    def _():
+        o["dy0"][0] = gbar_scr[:]
+        o["dtheta"][0, 0, 0] = dth_scr[0, 0]
+
+
+def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
+                        n_inner, block_b, unroll):
+    M, B, H = ys.shape
+    U = unroll
+    nk = M // U
+    nb = B // block_b
+
+    traj = jnp.concatenate([y0[None].astype(ys.dtype), ys], axis=0)
+
+    in_names = (["yprev", "gys"]
+                + [n for n in _srk_input_names(cfg, n_inner) if n != "y0"])
+    vals = {"yprev": traj[:-1], "gys": gys[1:], "dts": dts,
+            **_flatten_params(params), **streams}
+    args = [vals[n] for n in in_names]
+    in_specs = _specs_for(in_names, nk, B, H, block_b, U, reverse=True)
+
+    out_names = _srk_bwd_output_names(cfg, n_inner)
+    stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
+    s3_out = ((M, B, H), stream_dtype,
+              pl.BlockSpec((U, block_b, H),
+                           lambda b, k: (nk - 1 - k, b, 0),
+                           memory_space=pltpu.VMEM))
+    s2_out = ((nb, M, 1, H), jnp.float32,
+              pl.BlockSpec((1, U, 1, H),
+                           lambda b, k: (b, nk - 1 - k, 0, 0),
+                           memory_space=pltpu.VMEM))
+    shape_by = {
+        "dxh0": s3_out, "dxh1": s3_out,
+        "da0": s2_out, "da1": s2_out,
+        "dgk0": s2_out, "dgk1": s2_out, "dgk2": s2_out,
+        "dan1_0": s2_out, "dan1_1": s2_out, "dan1_2": s2_out,
+        "dy0": ((nb, block_b, H), jnp.float32,
+                pl.BlockSpec((1, block_b, H), lambda b, k: (b, 0, 0),
+                             memory_space=pltpu.VMEM)),
+        "dtheta": ((nb, 1, 1), jnp.float32,
+                   pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
+                                memory_space=pltpu.SMEM)),
+    }
+    w_out = ((nb, H, H), jnp.float32,
+             pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
+                          memory_space=pltpu.VMEM))
+    b_out = ((nb, 1, H), jnp.float32,
+             pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
+                          memory_space=pltpu.VMEM))
+
+    out_shapes, out_specs = [], []
+    for n in out_names:
+        if n in shape_by:
+            shp, dt_, spec = shape_by[n]
+        elif n.startswith("db_inner") or n in ("dbe", "dbo", "dbn2"):
+            shp, dt_, spec = b_out
+        else:
+            shp, dt_, spec = w_out
+        out_shapes.append(jax.ShapeDtypeStruct(shp, dt_))
+        out_specs.append(spec)
+
+    kernel = functools.partial(_bwd_kernel, cfg, n_inner, U, in_names,
+                               out_names)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),           # gbar
+            pltpu.SMEM((1, 1), jnp.float32),                 # dtheta acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    out = dict(zip(out_names, outs))
+
+    dparams = {"theta": jnp.sum(out["dtheta"], axis=0)}
+    if cfg["drift"] != "xt":
+        dparams["wy"] = jnp.sum(out["dwy"], axis=0)
+    if cfg["drift"] == "emb":
+        dparams["we1"] = jnp.sum(out["dwe1"], axis=0)
+        dparams["we2"] = jnp.sum(out["dwe2"], axis=0)
+        dparams["be"] = jnp.sum(out["dbe"], axis=0)
+    dparams["w_inner"] = tuple(
+        jnp.sum(out[f"dw_inner{i}"], axis=0) for i in range(n_inner)
+    )
+    dparams["b_inner"] = tuple(
+        jnp.sum(out[f"db_inner{i}"], axis=0) for i in range(n_inner)
+    )
+    dparams["wout"] = jnp.sum(out["dwout"], axis=0)
+    dparams["bo"] = jnp.sum(out["dbo"], axis=0)
+    if cfg["noise"] in ("net1", "net2"):
+        dparams["wn1"] = jnp.sum(out["dwn1"], axis=0)
+        if cfg["noise"] == "net2":
+            dparams["wn2"] = jnp.sum(out["dwn2"], axis=0)
+            dparams["bn2"] = jnp.sum(out["dbn2"], axis=0)
+
+    dstreams = {}
+    for n in ("xh0", "xh1"):
+        if f"d{n}" in out:
+            dstreams[n] = out[f"d{n}"]
+    for n in ("a0", "a1", "gk0", "gk1", "gk2", "an1_0", "an1_1", "an1_2"):
+        if f"d{n}" in out:
+            dstreams[n] = jnp.sum(out[f"d{n}"], axis=0)
+
+    dy0 = out["dy0"].reshape(-1, out["dy0"].shape[-1])
+    return dparams, dstreams, dy0
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _pick_block(B):
+    # SRK streams 2x the EM kernel's per-iteration VMEM (xh0/xh1, dw/i10,
+    # three gk rows); 256-row blocks keep fwd+bwd within VMEM with
+    # double-buffering
+    for cand in (256, 128, 64, 32, 16, 8):
+        if B % cand == 0:
+            return cand
+    return B
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_srk(params, streams, y0, dts_tuple, cfg_key, n_inner, unroll):
+    cfg = _config(*cfg_key)
+    dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
+    return _fused_srk_forward(params, streams, dts, y0, cfg=cfg,
+                              n_inner=n_inner,
+                              block_b=_pick_block(y0.shape[0]),
+                              unroll=unroll)
+
+
+def _fused_srk_fwd(params, streams, y0, dts_tuple, cfg_key, n_inner,
+                   unroll):
+    ys = _fused_srk(params, streams, y0, dts_tuple, cfg_key, n_inner,
+                    unroll)
+    return ys, (params, streams, y0, ys)
+
+
+def _fused_srk_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
+    params, streams, y0, ys = res
+    cfg = _config(*cfg_key)
+    dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
+    dparams, dstreams, dy0 = _fused_srk_backward(
+        params, streams, dts, y0, ys,
+        jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
+        cfg=cfg, n_inner=n_inner, block_b=_pick_block(y0.shape[0]),
+        unroll=unroll,
+    )
+    for k, v in streams.items():
+        if k not in dstreams:
+            dstreams[k] = jnp.zeros_like(v)
+    for k, v in params.items():
+        if k not in dparams:
+            dparams[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
+    return dparams, dstreams, dy0
+
+
+_fused_srk.defvjp(_fused_srk_fwd, _fused_srk_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def supports_fused_srk(field) -> bool:
+    """Same coverage as the EM kernel: the full 7x20 grid."""
+    io = getattr(field, "input_option", None)
+    no = getattr(field, "noise_option", None)
+    if io is None or no is None:
+        return False
+    return 0 <= io <= 6 and 0 <= no <= 19
+
+
+def _time_features(t):
+    return jnp.stack([jnp.sin(t), jnp.cos(t)], axis=-1)
+
+
+def _precomp_gk(field, no, tvec):
+    """Diffusion magnitude gk(t) over a stage-time vector [M] for the
+    t-only ('precomp') noise families (fused_em.py precompute, hoisted so
+    the SRK kernel can reuse it per stage time)."""
+    M = tvec.shape[0]
+    H = field.linear_out.out_features
+    tcol = tvec[:, None]
+    tf = _time_features(tvec)
+    if no == 0:
+        return jnp.zeros((M, H))
+    if no in (1, 2, 3):
+        gk = jnp.broadcast_to(jnp.exp(field.sigma), (M, H))
+        return gk * tcol if no == 2 else gk
+    if no in (4, 5, 6):
+        gk = jnp.broadcast_to(jnp.exp(field.sigma_diag), (M, H))
+        return gk * tcol if no == 5 else gk
+    if no == 11:
+        return jnp.broadcast_to(tcol, (M, H))
+    if no in (12, 13):
+        n1 = field.noise_t[0]
+        return tf @ n1.weight + n1.bias
+    nt1, nt2 = field.noise_t                     # 16, 17
+    return jax.nn.relu(
+        jax.nn.relu(tf @ nt1.weight + nt1.bias) @ nt2.weight + nt2.bias
+    )
+
+
+def fused_srk_solve(field, path, times, y0, key, dt=None,
+                    stream_dtype=None):
+    """Drop-in SRIW1 solve for a supported DiffusionField. Returns
+    ys [T, B, H] on the output times. Key handling matches
+    ops.solve.sdeint (kw -> dW, ku -> Lévy area) so the same seed draws
+    the same (dW, I10) on the fused and scan paths."""
+    import os
+
+    if stream_dtype is None:
+        stream_dtype = (
+            jnp.bfloat16
+            if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
+            else jnp.float32
+        )
+    from ..ops.solve import make_grid
+    from ..ops.brownian import brownian_increments, space_time_levy_area
+    from ..models.neuralsde import resolve_dt
+
+    dt = resolve_dt(times) if dt is None else dt
+    grid, out_idx = make_grid(times, dt)
+    M = grid.shape[0] - 1
+    B = y0.shape[0]
+    H = field.linear_out.out_features
+    HH = field.linear_out.in_features
+    Hp = _round_up(max(H, HH, 8), LANE)
+    n_inner = len(field.linears)
+    io = field.input_option
+    no = field.noise_option
+    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    traj_bf16 = stream_dtype == jnp.bfloat16
+    cfg_key = (io, no, mm_bf16, False, H, traj_bf16)
+    cfg = _config(*cfg_key)
+    time_emb = io in (3, 4, 5, 6)
+
+    kw, ku = jax.random.split(key)
+    dW = brownian_increments(kw, grid, (B, H), jnp.float32)
+    I10 = space_time_levy_area(ku, grid, (B, H), dW, jnp.float32)
+
+    dts_np = np.diff(grid).astype(np.float64)
+    t0_np = grid[:-1]
+    # stage-time vectors (host-side, concrete): drift at (t, t + 3/4 dt),
+    # diffusion at (t, t + dt/4, t + dt)
+    td = [t0_np, t0_np + 0.75 * dts_np]
+    tn = [t0_np, t0_np + 0.25 * dts_np, grid[1:]]
+
+    streams = {
+        "dw": _pad_to(dW, Hp, 2).astype(stream_dtype),
+        "i10": _pad_to(I10, Hp, 2).astype(stream_dtype),
+    }
+    params = {"theta": field.theta.astype(jnp.float32)}
+
+    # --- drift precompute per stage time ---
+    if cfg["drift"] in ("xt", "emb"):
+        for i, tv in enumerate(td):
+            Xg = path.evaluate_grid(tv)                  # [M, B, C]
+            Xh = (Xg @ field.initial_network.weight
+                  + field.initial_network.bias)
+            streams[f"xh{i}"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
+    if cfg["drift"] != "xt":
+        w_in = field.linear_in.weight
+        if time_emb:
+            Wt = w_in[:2]
+            Wy = w_in[2:]
+        else:
+            Wy = w_in
+        params["wy"] = _pad_to(_pad_to(Wy, Hp, 0), Hp, 1)
+        for i, tv in enumerate(td):
+            if time_emb:
+                a = (_time_features(jnp.asarray(tv, jnp.float32)) @ Wt
+                     + field.linear_in.bias)
+            else:
+                a = jnp.broadcast_to(field.linear_in.bias,
+                                     (M, w_in.shape[1]))
+            streams[f"a{i}"] = _pad_to(a, Hp, 1)[:, None, :]
+    if cfg["drift"] == "emb":
+        params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)
+        params["we2"] = _pad_to(_pad_to(field.emb.weight[H:], Hp, 0), Hp, 1)
+        params["be"] = _pad_to(field.emb.bias, Hp, 0)[None]
+
+    params["w_inner"] = tuple(
+        _pad_to(_pad_to(l.weight, Hp, 0), Hp, 1) for l in field.linears
+    )
+    params["b_inner"] = tuple(
+        _pad_to(l.bias, Hp, 0)[None] for l in field.linears
+    )
+    params["wout"] = _pad_to(_pad_to(field.linear_out.weight, Hp, 0), Hp, 1)
+    params["bo"] = _pad_to(field.linear_out.bias, Hp, 0)[None]
+
+    # --- diffusion precompute per stage time ---
+    if cfg["noise"] == "precomp":
+        for i, tv in enumerate(tn):
+            gk = _precomp_gk(field, no, jnp.asarray(tv, jnp.float32))
+            streams[f"gk{i}"] = _pad_to(gk, Hp, 1)[:, None, :]
+    elif cfg["noise"] in ("net1", "net2"):
+        n1 = field.noise_y[0]
+        Wt_n = n1.weight[:2]
+        Wy_n = n1.weight[2:]
+        params["wn1"] = _pad_to(_pad_to(Wy_n, Hp, 0), Hp, 1)
+        for i, tv in enumerate(tn):
+            an1 = (_time_features(jnp.asarray(tv, jnp.float32)) @ Wt_n
+                   + n1.bias)
+            streams[f"an1_{i}"] = _pad_to(an1, Hp, 1)[:, None, :]
+        if cfg["noise"] == "net2":
+            n2 = field.noise_y[1]
+            params["wn2"] = _pad_to(_pad_to(n2.weight, Hp, 0), Hp, 1)
+            params["bn2"] = _pad_to(n2.bias, Hp, 0)[None]
+
+    y0p = _pad_to(y0.astype(jnp.float32), Hp, 1)
+
+    U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
+    U = max(1, min(U, M))
+    Mp = _round_up(M, U)
+    pad_steps = Mp - M
+    dts_list = np.diff(grid).astype(np.float32).tolist()
+    if pad_steps:
+        streams = {
+            k: jnp.pad(v, ((0, pad_steps),) + ((0, 0),) * (v.ndim - 1))
+            for k, v in streams.items()
+        }
+        dts_list += [0.0] * pad_steps
+    dts_tuple = tuple(dts_list)
+    ys = _fused_srk(params, streams, y0p, dts_tuple, cfg_key, n_inner, U)
+    full = jnp.concatenate([y0p[None].astype(ys.dtype), ys[:M]], axis=0)
+    return full[jnp.asarray(out_idx)][..., :H].astype(jnp.float32)

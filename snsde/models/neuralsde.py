@@ -25,6 +25,8 @@ Design differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,14 +50,24 @@ def resolve_dt(times, floor: float = 1e-3) -> float:
 
 def solve_dispatch(func, path, times, y0, *, key, dt, method, bm=None,
                    use_fused: bool = True):
-    """Shared solver dispatch: the fused Pallas EM kernel when the bound
-    field supports it (LSDE/LNSDE/GSDE configs, euler, TPU), otherwise the
-    generic scan solver."""
-    if use_fused and bm is None and method == "euler":
-        from ..kernels.fused_em import fused_em_solve, supports_fused
+    """Shared solver dispatch: the fused Pallas kernels when the bound
+    field supports them (the full 7x20 grid; euler -> fused_em, srk ->
+    fused_srk, TPU only), otherwise the generic scan solver.
+    SNSDE_NO_FUSED=1 forces the scan path (perf A/Bs, debugging)."""
+    if os.environ.get("SNSDE_NO_FUSED", "0") == "1":
+        use_fused = False
+    if use_fused and bm is None and jax.default_backend() == "tpu":
+        if method == "euler":
+            from ..kernels.fused_em import fused_em_solve, supports_fused
 
-        if supports_fused(func) and jax.default_backend() == "tpu":
-            return fused_em_solve(func, path, times, y0, key, dt=dt)
+            if supports_fused(func):
+                return fused_em_solve(func, path, times, y0, key, dt=dt)
+        elif method == "srk":
+            from ..kernels.fused_srk import (fused_srk_solve,
+                                             supports_fused_srk)
+
+            if supports_fused_srk(func):
+                return fused_srk_solve(func, path, times, y0, key, dt=dt)
     return sdeint(func.f, func.g, y0, times, key=key, dt=dt, method=method,
                   bm=bm)
 

@@ -191,3 +191,38 @@ def test_in_kernel_rng_mode(monkeypatch):
                     jax.tree_util.tree_leaves(g2)):
         assert bool(jnp.all(jnp.isfinite(a)))
         assert bool(jnp.array_equal(a, b))
+
+
+@requires_tpu
+def test_fused_srk_matches_scan_tpu():
+    """Compiled (Mosaic) fused SRK vs scan SRK on shared (dW, I10)."""
+    from snsde.fields import DiffusionField
+    from snsde.kernels.fused_srk import fused_srk_solve
+    from snsde.models.neuralsde import resolve_dt
+    from snsde.ops.brownian import (BrownianGrid, brownian_increments,
+                                    space_time_levy_area)
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+    from snsde.ops.solve import make_grid, sdeint
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    B, L, C, H = 128, 12, 5, 33
+    times = np.arange(L, dtype=np.float32)
+    X = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
+    path = CubicPath(coeffs, times)
+    field = DiffusionField.create(
+        key, C, H, H, 2, input_option=4, noise_option=17
+    ).bind(path)
+    y0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    kb = jax.random.fold_in(key, 7)
+    grid, _ = make_grid(times, resolve_dt(times))
+    kw, ku = jax.random.split(kb)
+    dW = brownian_increments(kw, grid, (B, H))
+    U = space_time_levy_area(ku, grid, (B, H), dW)
+    bm = BrownianGrid(grid=jnp.asarray(grid), dW=dW, U=U)
+    ys_ref = sdeint(field.f, field.g, y0, times, bm=bm, method="srk")
+    ys_fused = fused_srk_solve(field, path, times, y0, kb)
+    np.testing.assert_allclose(
+        np.asarray(ys_ref), np.asarray(ys_fused), atol=5e-3
+    )
