@@ -797,6 +797,21 @@ def supports_fused(field) -> bool:
     return 0 <= io <= 6 and 0 <= no <= 19
 
 
+def is_batched(*trees) -> bool:
+    """True when any leaf is a vmap BatchTracer. Mosaic's automatic vmap
+    lifting of these kernels mis-compiles the scratch carry across the
+    added grid dimension (verified on v5e: model 0 exact, others wrong,
+    while interpret mode is exact for all) — so under vmap the solvers
+    fall back to the scan path, which batches correctly."""
+    from jax._src.interpreters import batching
+
+    return any(
+        isinstance(leaf, batching.BatchTracer)
+        for t in trees
+        for leaf in jax.tree_util.tree_leaves(t)
+    )
+
+
 def fused_em_solve(field, path, times, y0, key, dt=None,
                    stream_dtype=None):
     """Drop-in EM solve for a supported DiffusionField. Returns
@@ -817,11 +832,15 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
             if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
             else jnp.float32
         )
-    from ..ops.solve import make_grid
+    from ..ops.solve import make_grid, sdeint
     from ..ops.brownian import brownian_increments
     from ..models.neuralsde import resolve_dt
 
     dt = resolve_dt(times) if dt is None else dt
+    if is_batched(field, y0, key):
+        # under vmap: the scan path batches correctly (see is_batched)
+        return sdeint(field.f, field.g, y0, times, key=key, dt=dt,
+                      method="euler")
     grid, out_idx = make_grid(times, dt)
     M = grid.shape[0] - 1
     B = y0.shape[0]

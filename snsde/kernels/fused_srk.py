@@ -631,11 +631,16 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
             if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
             else jnp.float32
         )
-    from ..ops.solve import make_grid
+    from ..ops.solve import make_grid, sdeint
     from ..ops.brownian import brownian_increments, space_time_levy_area
     from ..models.neuralsde import resolve_dt
+    from .fused_em import is_batched
 
     dt = resolve_dt(times) if dt is None else dt
+    if is_batched(field, y0, key):
+        # under vmap: the scan path batches correctly (fused_em.is_batched)
+        return sdeint(field.f, field.g, y0, times, key=key, dt=dt,
+                      method="srk")
     grid, out_idx = make_grid(times, dt)
     M = grid.shape[0] - 1
     B = y0.shape[0]

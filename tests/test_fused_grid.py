@@ -151,3 +151,40 @@ def test_fused_unroll_padding_exact(setting, monkeypatch):
         jax.random.PRNGKey(11), C, H, H, 1, input_option=4, noise_option=17,
     )
     _parity(path, times, y0, B, H, field)
+
+
+def test_vmap_falls_back_to_scan(setting):
+    """vmap over the fused solvers must produce scan-identical results:
+    Mosaic's automatic vmap lifting of the kernels mis-compiles the
+    scratch carry (verified on v5e), so fused_em_solve/fused_srk_solve
+    detect BatchTracers and route to the scan path under vmap."""
+    from snsde.fields import DiffusionField
+    from snsde.kernels.fused_em import fused_em_solve, is_batched
+    from snsde.ops.solve import sdeint
+
+    path, times, y0, (B, C, H) = setting
+    K = 3
+    fields = [DiffusionField.create(jax.random.PRNGKey(i), C, H, H, 1,
+                                    input_option=4, noise_option=17)
+              for i in range(K)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fields)
+    keys = jax.random.split(jax.random.PRNGKey(9), K)
+    dt = resolve_dt(times)
+
+    def solve_one(field, key):
+        return fused_em_solve(field.bind(path), path, times, y0, key,
+                              dt=dt)
+
+    def solve_scan(field, key):
+        fb = field.bind(path)
+        return sdeint(fb.f, fb.g, y0, times, key=key, dt=dt,
+                      method="euler")
+
+    # compare both INSIDE vmap: with the default RBG PRNG, vmapped draws
+    # legitimately differ from sequential per-key draws, so the guard is
+    # asserted as vmapped-fused == vmapped-scan (identical key handling)
+    ys_v = jax.vmap(solve_one)(stacked, keys)
+    ys_s = jax.vmap(solve_scan)(stacked, keys)
+    np.testing.assert_allclose(np.asarray(ys_v), np.asarray(ys_s),
+                               atol=1e-6)
+    assert not is_batched(fields[0], y0)
