@@ -74,6 +74,15 @@ def _dot(x, w, mm_bf16: bool):
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
+def _pdot(a, b):
+    """f32-precision matmul for the small outside-kernel precomputes.
+    The TPU default matmul precision is bf16, whose rounding is
+    shape/tiling dependent: identical math at different lane offsets
+    (multi-model packing, kernels/multi.py) diverges at ~1e-3 under the
+    default, and these matmuls are tiny anyway."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -402,7 +411,7 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
         y_scr[:] = r["y0"][:]
 
     y = y_scr[:]
-    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    s_theta = jax.nn.sigmoid(r["theta"][:])      # [1, H] per-lane theta
     if cfg["rng"]:
         block_b, Hp = y_scr.shape
         dws = _gen_dw(cfg, r, b, k, U, block_b, Hp)
@@ -441,8 +450,8 @@ def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
         "xh": s3, "a": s2, "gk": s2, "an1": s2, "dw": s3,
         "seed": pl.BlockSpec(memory_space=pltpu.SMEM),
         "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
-        "theta": pl.BlockSpec((1, 1), lambda b, k: (0, 0),
-                              memory_space=pltpu.SMEM),
+        "theta": pl.BlockSpec((1, H), lambda b, k: (0, 0),
+                              memory_space=pltpu.VMEM),
     }
     out = []
     for n in names:
@@ -534,14 +543,14 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
     @pl.when(k == 0)
     def _():
         gbar_scr[:] = jnp.zeros_like(gbar_scr)
-        dth_scr[0, 0] = 0.0
+        dth_scr[:] = jnp.zeros_like(dth_scr)
         for n in acc_names:
             o[n][0] = jnp.zeros_like(o[n][0])
 
     mm = cfg["mm_bf16"]
     gbar = gbar_scr[:]
-    dth = dth_scr[0, 0]
-    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    dth = dth_scr[:]                              # [1, H]
+    s_theta = jax.nn.sigmoid(r["theta"][:])      # [1, H]
     if cfg["rng"]:
         # re-seed with the same (seed, batch-block, forward-step-block)
         # triple as the forward kernel -> bit-identical increments
@@ -568,8 +577,9 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         df = gbar * dt
         dg = gbar * dw
         dsg = dg * (1.0 - g * g)
-        # d wrt s_theta and graw
-        dth += jnp.sum(dsg * graw) * s_theta * (1.0 - s_theta)
+        # d wrt s_theta and graw (per lane -> per-model under packing)
+        dth = dth + (jnp.sum(dsg * graw, axis=0, keepdims=True)
+                     * s_theta * (1.0 - s_theta))
         dgraw = dsg * s_theta
 
         dy_diff, nex = _noise_bwd(cfg, ru, y, base, naux, dgraw, o)
@@ -589,12 +599,12 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         gbar = gbar + dy_drift + dy_diff
 
     gbar_scr[:] = gbar
-    dth_scr[0, 0] = dth
+    dth_scr[:] = dth
 
     @pl.when(k == nk - 1)
     def _():
         o["dy0"][0] = gbar_scr[:]
-        o["dtheta"][0, 0, 0] = dth_scr[0, 0]
+        o["dtheta"][0] = dth_scr[:]
 
 
 def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
@@ -629,9 +639,9 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
         "dy0": ((nb, block_b, H), jnp.float32,
                 pl.BlockSpec((1, block_b, H), lambda b, k: (b, 0, 0),
                              memory_space=pltpu.VMEM)),
-        "dtheta": ((nb, 1, 1), jnp.float32,
-                   pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
-                                memory_space=pltpu.SMEM)),
+        "dtheta": ((nb, 1, H), jnp.float32,
+                   pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
     }
     shape_by["dgk"] = shape_by["da"]
     shape_by["dan1"] = shape_by["da"]
@@ -663,7 +673,7 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_b, H), jnp.float32),           # gbar
-            pltpu.SMEM((1, 1), jnp.float32),                 # dtheta acc
+            pltpu.VMEM((1, H), jnp.float32),                 # dtheta acc
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -813,7 +823,7 @@ def is_batched(*trees) -> bool:
 
 
 def fused_em_solve(field, path, times, y0, key, dt=None,
-                   stream_dtype=None):
+                   stream_dtype=None, dW_override=None):
     """Drop-in EM solve for a supported DiffusionField. Returns
     ys [T, B, H] on the output times (torchsde layout).
 
@@ -862,7 +872,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # the streamed/scan threefry draw — parity tests use streamed mode.
     # TPU-only: the CPU interpret emulation returns zero bits.
     rng_mode = (os.environ.get("SNSDE_FUSED_RNG", "0") == "1"
-                and not _interpret())
+                and not _interpret() and dW_override is None)
     traj_bf16 = stream_dtype == jnp.bfloat16
     cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16)
     cfg = _config(*cfg_key)
@@ -872,7 +882,11 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # unused here) so a given seed draws the same Brownian path on the
     # fused and scan paths.
     kw, _ = jax.random.split(key)
-    if rng_mode:
+    if dW_override is not None:
+        # caller-supplied increments [M, B, H] (lane-packed multi-model
+        # solves draw per model with per-model keys and concatenate)
+        dW = _pad_to(dW_override, Hp, 2).astype(stream_dtype)
+    elif rng_mode:
         # [1] int32 seed for the in-kernel PRNG, derived from the key so
         # the key-stream contract (fold_in per train step) is preserved
         dW = jax.lax.bitcast_convert_type(
@@ -888,19 +902,28 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     tf = jnp.stack([jnp.sin(t_lo), jnp.cos(t_lo)], axis=-1)  # [M, 2]
 
     streams = {}
-    params = {"theta": field.theta.astype(jnp.float32)}
+    # theta as a [1, Hp] lane row (the VJP of broadcast/pad sums the
+    # cotangent back); per-lane theta is what lets lane-packed multi-model
+    # solves carry one theta per model block ((1, H) rows pass through)
+    th = field.theta.astype(jnp.float32).reshape(1, -1)
+    if th.shape[1] == 1:
+        th = jnp.broadcast_to(th, (1, Hp))
+    else:
+        th = _pad_to(th, Hp, 1)
+    params = {"theta": th}
 
     # --- drift precompute ---
     if cfg["drift"] in ("xt", "emb"):
         Xg = path.evaluate_grid(grid[:-1])               # [M, B, C]
-        Xh = Xg @ field.initial_network.weight + field.initial_network.bias
+        Xh = _pdot(Xg, field.initial_network.weight) \
+            + field.initial_network.bias
         streams["xh"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
     if cfg["drift"] != "xt":
         w_in = field.linear_in.weight                    # [(H+2)|H, HH]
         if time_emb:
             Wt = w_in[:2]                                # [2, HH]
             Wy = w_in[2:]                                # [H, HH]
-            a = tf @ Wt + field.linear_in.bias           # [M, HH]
+            a = _pdot(tf, Wt) + field.linear_in.bias     # [M, HH]
         else:
             Wy = w_in
             a = jnp.broadcast_to(field.linear_in.bias,
@@ -938,11 +961,12 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
             gk = jnp.broadcast_to(tcol, (M, H))
         elif no in (12, 13):
             n1 = field.noise_t[0]
-            gk = tf @ n1.weight + n1.bias
+            gk = _pdot(tf, n1.weight) + n1.bias
         else:                                            # 16, 17
             nt1, nt2 = field.noise_t
             gk = jax.nn.relu(
-                jax.nn.relu(tf @ nt1.weight + nt1.bias) @ nt2.weight
+                _pdot(jax.nn.relu(_pdot(tf, nt1.weight) + nt1.bias),
+                      nt2.weight)
                 + nt2.bias
             )
         streams["gk"] = _pad_to(gk, Hp, 1)[:, None, :]
@@ -950,7 +974,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         n1 = field.noise_y[0]
         Wt_n = n1.weight[:2]                             # [2, H]
         Wy_n = n1.weight[2:]                             # [H, H]
-        an1 = tf @ Wt_n + n1.bias                        # [M, H]
+        an1 = _pdot(tf, Wt_n) + n1.bias                  # [M, H]
         params["wn1"] = _pad_to(_pad_to(Wy_n, Hp, 0), Hp, 1)
         streams["an1"] = _pad_to(an1, Hp, 1)[:, None, :]
         if cfg["noise"] == "net2":

@@ -47,6 +47,7 @@ from .fused_em import (
     _noise_bwd,
     _noise_forward,
     _pad_to,
+    _pdot,
     _round_up,
 )
 
@@ -610,10 +611,11 @@ def _precomp_gk(field, no, tvec):
         return jnp.broadcast_to(tcol, (M, H))
     if no in (12, 13):
         n1 = field.noise_t[0]
-        return tf @ n1.weight + n1.bias
+        return _pdot(tf, n1.weight) + n1.bias
     nt1, nt2 = field.noise_t                     # 16, 17
     return jax.nn.relu(
-        jax.nn.relu(tf @ nt1.weight + nt1.bias) @ nt2.weight + nt2.bias
+        _pdot(jax.nn.relu(_pdot(tf, nt1.weight) + nt1.bias), nt2.weight)
+        + nt2.bias
     )
 
 
@@ -677,7 +679,7 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     if cfg["drift"] in ("xt", "emb"):
         for i, tv in enumerate(td):
             Xg = path.evaluate_grid(tv)                  # [M, B, C]
-            Xh = (Xg @ field.initial_network.weight
+            Xh = (_pdot(Xg, field.initial_network.weight)
                   + field.initial_network.bias)
             streams[f"xh{i}"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
     if cfg["drift"] != "xt":
@@ -690,7 +692,8 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
         params["wy"] = _pad_to(_pad_to(Wy, Hp, 0), Hp, 1)
         for i, tv in enumerate(td):
             if time_emb:
-                a = (_time_features(jnp.asarray(tv, jnp.float32)) @ Wt
+                a = (_pdot(_time_features(jnp.asarray(tv, jnp.float32)),
+                           Wt)
                      + field.linear_in.bias)
             else:
                 a = jnp.broadcast_to(field.linear_in.bias,
@@ -721,7 +724,8 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
         Wy_n = n1.weight[2:]
         params["wn1"] = _pad_to(_pad_to(Wy_n, Hp, 0), Hp, 1)
         for i, tv in enumerate(tn):
-            an1 = (_time_features(jnp.asarray(tv, jnp.float32)) @ Wt_n
+            an1 = (_pdot(_time_features(jnp.asarray(tv, jnp.float32)),
+                         Wt_n)
                    + n1.bias)
             streams[f"an1_{i}"] = _pad_to(an1, Hp, 1)[:, None, :]
         if cfg["noise"] == "net2":

@@ -1,0 +1,218 @@
+"""Lane-packed multi-model fused solves.
+
+The fused kernels pad the hidden width to the 128-lane MXU tile, so a
+single H=49 model wastes ~85% of the matmul lanes (RESULTS.md roofline —
+"padding waste is removable only by batching multiple models into the
+lane dimension"). This module removes that waste for the framework's
+dominant sweep workloads (the reference's robustness sweep trains the
+same config over 5 seeds per cell — torch-ists/model_run.py — and the
+grids in sepsis-sde.py:70-83 repeat each model 5 times): K same-config
+models are packed along the lane axis with BLOCK-DIAGONAL weights and
+solved by ONE fused kernel invocation.
+
+Why block-diagonal packing is exact: every cross-feature mixing in the
+step is a matmul against a model's weight matrix; with the K weight
+matrices placed on the diagonal of a [K*H, K*H] matrix, lanes of model i
+only ever mix with lanes of model i. Everything else in the step
+(tanh/sigmoid/relu bounds, noise application, the Euler update) is
+elementwise over lanes. Per-model theta rides the kernels' per-lane
+theta row; per-model Brownian increments are drawn from per-model keys
+and concatenated, so packed model i is bit-comparable to a single-model
+solve with the same key.
+
+Gradients: the packing is ordinary jnp (block_diag / concatenate /
+repeat), so reverse-mode AD slices each model's cotangents back out of
+the packed kernel gradients.
+"""
+
+from __future__ import annotations
+
+import types
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import block_diag
+
+from .fused_em import fused_em_solve
+
+__all__ = ["fused_em_solve_packed", "pack_fields"]
+
+
+def _ns(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def _check_same_config(fields):
+    f0 = fields[0]
+    for f in fields[1:]:
+        if (f.input_option != f0.input_option
+                or f.noise_option != f0.noise_option
+                or f.linear_out.out_features != f0.linear_out.out_features
+                or f.linear_out.in_features != f0.linear_out.in_features
+                or len(f.linears) != len(f0.linears)):
+            raise ValueError(
+                "pack_fields needs identically-configured models "
+                "(same input/noise option, widths, depth)"
+            )
+
+
+def pack_fields(fields):
+    """Pack K identically-configured DiffusionFields into one synthetic
+    field of hidden width K*H with block-diagonal weights. The result
+    exposes exactly the attributes fused_em_solve reads."""
+    _check_same_config(fields)
+    f0 = fields[0]
+    H = f0.linear_out.out_features
+    io, no = f0.input_option, f0.noise_option
+    time_emb = io in (3, 4, 5, 6)
+
+    def cat(xs):
+        return jnp.concatenate(xs, axis=-1)
+
+    def lin_blockdiag(lins):
+        return _ns(
+            weight=block_diag(*[l.weight for l in lins]),
+            bias=cat([l.bias for l in lins]),
+            in_features=sum(l.weight.shape[0] for l in lins),
+            out_features=sum(l.weight.shape[1] for l in lins),
+        )
+
+    def lin_cat_cols(lins):
+        """Shared-input rows (time features / data channels): concatenate
+        output columns only."""
+        return _ns(
+            weight=cat([l.weight for l in lins]),
+            bias=cat([l.bias for l in lins]),
+            in_features=lins[0].weight.shape[0],
+            out_features=sum(l.weight.shape[1] for l in lins),
+        )
+
+    def lin_time_plus_state(lins, n_time=2):
+        """[(n_time + H), HH] weights: time rows concatenated by column,
+        state rows block-diagonal."""
+        wt = cat([l.weight[:n_time] for l in lins])
+        wy = block_diag(*[l.weight[n_time:] for l in lins])
+        return _ns(
+            weight=jnp.concatenate([wt, wy], axis=0),
+            bias=cat([l.bias for l in lins]),
+            in_features=n_time + wy.shape[0],
+            out_features=wt.shape[1],
+        )
+
+    # linear_in: time rows shared across models, state rows block-diag
+    if io == 0:
+        linear_in = None
+    elif time_emb:
+        linear_in = lin_time_plus_state([f.linear_in for f in fields])
+    else:
+        linear_in = lin_blockdiag([f.linear_in for f in fields])
+
+    # emb: rows [:H] (yy part) and [H:] (xh part) block-diag separately,
+    # restacked so the packed field splits at K*H exactly like a single
+    # field splits at H (fused_em_solve reads emb.weight[:H_packed]).
+    emb = None
+    if io in (2, 4, 6):
+        we1 = block_diag(*[f.emb.weight[:H] for f in fields])
+        we2 = block_diag(*[f.emb.weight[H:] for f in fields])
+        emb = _ns(
+            weight=jnp.concatenate([we1, we2], axis=0),
+            bias=cat([f.emb.bias for f in fields]),
+        )
+
+    initial_network = None
+    if io in (0, 2, 4, 6):
+        initial_network = lin_cat_cols([f.initial_network for f in fields])
+
+    linears = [
+        lin_blockdiag([f.linears[i] for f in fields])
+        for i in range(len(f0.linears))
+    ]
+    linear_out = lin_blockdiag([f.linear_out for f in fields])
+
+    # per-model theta repeated across that model's lane block
+    theta = jnp.concatenate(
+        [jnp.broadcast_to(f.theta.reshape(1, 1), (1, H)) for f in fields],
+        axis=1,
+    )
+
+    sigma = None
+    if f0.sigma is not None:
+        # scalar sigma per model -> per-lane vector (exp/broadcast in the
+        # gk precompute works elementwise over lanes)
+        sigma = jnp.concatenate(
+            [jnp.broadcast_to(f.sigma.reshape(1), (H,)) for f in fields]
+        )
+    sigma_diag = None
+    if f0.sigma_diag is not None:
+        sigma_diag = cat([f.sigma_diag for f in fields])
+
+    noise_t = None
+    if f0.noise_t is not None:
+        if len(f0.noise_t) == 1:                 # 12/13: 1NN(t)
+            noise_t = (lin_cat_cols([f.noise_t[0] for f in fields]),)
+        else:                                    # 16/17: 2NN(t)
+            noise_t = (
+                lin_cat_cols([f.noise_t[0] for f in fields]),
+                lin_blockdiag([f.noise_t[1] for f in fields]),
+            )
+    noise_y = None
+    if f0.noise_y is not None:
+        first = lin_time_plus_state([f.noise_y[0] for f in fields])
+        if len(f0.noise_y) == 1:                 # 14/15
+            noise_y = (first,)
+        else:                                    # 18/19
+            noise_y = (
+                first,
+                lin_blockdiag([f.noise_y[1] for f in fields]),
+            )
+
+    return _ns(
+        input_option=io,
+        noise_option=no,
+        initial_network=initial_network,
+        linear_in=linear_in,
+        linears=linears,
+        linear_out=linear_out,
+        emb=emb,
+        theta=theta,
+        sigma=sigma,
+        sigma_diag=sigma_diag,
+        noise_t=noise_t,
+        noise_y=noise_y,
+    )
+
+
+def fused_em_solve_packed(fields, path, times, y0s, keys, dt=None,
+                          stream_dtype=None):
+    """Solve K identically-configured models in one fused EM kernel.
+
+    fields: list of K DiffusionFields (unbound).
+    y0s:    [K, B, H] per-model initial states.
+    keys:   [K] per-model PRNG keys; packed model i draws the SAME dW as
+            fused_em_solve(fields[i], ..., keys[i]) would.
+
+    Returns ys [K, T, B, H]."""
+    from ..models.neuralsde import resolve_dt
+    from ..ops.brownian import brownian_increments
+    from ..ops.solve import make_grid
+
+    K = len(fields)
+    if y0s.shape[0] != K or len(keys) != K:
+        raise ValueError("need one y0 slice and one key per field")
+    H = fields[0].linear_out.out_features
+    B = y0s.shape[1]
+    packed = pack_fields(fields)
+
+    dt = resolve_dt(times) if dt is None else dt
+    grid, _ = make_grid(times, dt)
+    dWs = []
+    for i in range(K):
+        kw, _ = jax.random.split(keys[i])
+        dWs.append(brownian_increments(kw, grid, (B, H), jnp.float32))
+    dW = jnp.concatenate(dWs, axis=-1)           # [M, B, K*H]
+
+    y0 = jnp.concatenate([y0s[i] for i in range(K)], axis=-1)  # [B, K*H]
+    ys = fused_em_solve(packed, path, times, y0, keys[0], dt=dt,
+                        stream_dtype=stream_dtype, dW_override=dW)
+    T = ys.shape[0]
+    return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)

@@ -188,3 +188,52 @@ def test_vmap_falls_back_to_scan(setting):
     np.testing.assert_allclose(np.asarray(ys_v), np.asarray(ys_s),
                                atol=1e-6)
     assert not is_batched(fields[0], y0)
+
+
+@pytest.mark.parametrize("io,no", [(4, 17), (2, 16), (1, 18), (0, 4),
+                                   (5, 14), (3, 2), (6, 9)])
+def test_lane_packed_multi_model(setting, io, no):
+    """K models packed along the lane axis with block-diagonal weights in
+    ONE kernel invocation must reproduce each single-model solve exactly
+    (same per-model keys -> same dW), including gradients."""
+    from snsde.fields import DiffusionField
+    from snsde.kernels.fused_em import fused_em_solve
+    from snsde.kernels.multi import fused_em_solve_packed
+    from snsde.nn.core import filter_value_and_grad
+
+    path, times, y0, (B, C, H) = setting
+    K = 3
+    fields = [DiffusionField.create(jax.random.PRNGKey(10 + i), C, H, H, 1,
+                                    input_option=io, noise_option=no)
+              for i in range(K)]
+    keys = list(jax.random.split(jax.random.PRNGKey(3), K))
+    y0s = jnp.stack([y0 + 0.1 * i for i in range(K)])
+    dt = resolve_dt(times)
+
+    ys_packed = fused_em_solve_packed(fields, path, times, y0s, keys,
+                                      dt=dt)
+    for i in range(K):
+        ys_i = fused_em_solve(fields[i], path, times, y0s[i], keys[i],
+                              dt=dt)
+        np.testing.assert_allclose(np.asarray(ys_packed[i]),
+                                   np.asarray(ys_i), atol=1e-6)
+
+    # gradients: packed loss grads per model == single-model loss grads
+    def loss_packed(fs):
+        ys = fused_em_solve_packed(fs, path, times, y0s, keys, dt=dt)
+        return jnp.mean(ys ** 2)
+
+    def loss_single(f, i):
+        ys = fused_em_solve(f, path, times, y0s[i], keys[i], dt=dt)
+        return jnp.mean(ys ** 2)
+
+    _, gp = filter_value_and_grad(loss_packed)(fields)
+    for i in range(K):
+        _, gi = filter_value_and_grad(
+            lambda f: loss_single(f, i) * (1.0 / K))(fields[i])
+        for a, b in zip(jax.tree_util.tree_leaves(gp[i]),
+                        jax.tree_util.tree_leaves(gi)):
+            if a is None or b is None:
+                continue
+            denom = max(float(jnp.abs(b).max()), 1e-6)
+            assert float(jnp.abs(a - b).max()) / denom < 1e-4
