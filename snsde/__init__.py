@@ -51,4 +51,5 @@ from .ops.interp import (
     linear_coeffs,
     natural_cubic_coeffs,
 )
-from .ops.solve import cdeint, odeint, sdeint
+from .ops.brownian import BrownianGrid, VirtualBrownianTree
+from .ops.solve import cdeint, odeint, sdeint, sdeint_adaptive

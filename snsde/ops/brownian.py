@@ -92,3 +92,90 @@ class BrownianGrid:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+# ---------------------------------------------------------------------------
+# Virtual Brownian Tree: W(t) at arbitrary t, O(1) memory, jit-compatible
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class VirtualBrownianTree:
+    """Arbitrary-time Brownian queries via fixed-depth bridge bisection.
+
+    TPU-native equivalent of torchsde's `BrownianTree` (Li et al. 2020,
+    "Scalable Gradients for SDEs"; used by the reference through
+    torchsde's BrownianInterval for adaptive solvers). The path is a pure
+    function of (key, t): querying W(t) descends `depth` levels of binary
+    bisection of [t0, t1], sampling each midpoint from the Brownian
+    bridge with a key derived by fold_in on the node index — no state,
+    no stored path, identical values for identical queries in any order
+    (the property adaptive solvers need when they re-query overlapping
+    intervals after step rejection).
+
+    Resolution: leaves have width (t1-t0)/2^depth; within a leaf W is
+    bridge-interpolated linearly (exact in mean, variance error bounded
+    by leaf width — pick depth so 2^-depth*(t1-t0) is far below solver
+    tolerances; depth=18 gives ~4e-6 of the horizon).
+    """
+
+    key: jnp.ndarray
+    t0: float
+    t1: float
+    shape: Tuple[int, ...]
+    depth: int = 18
+    dtype: object = jnp.float32
+
+    def __post_init__(self):
+        if self.t1 <= self.t0:
+            raise ValueError("need t1 > t0")
+
+    def evaluate(self, t):
+        """W(t) with W(t0) = 0, W(t1) ~ N(0, t1-t0)."""
+        t = jnp.asarray(t, self.dtype)
+        w1 = jax.random.normal(
+            jax.random.fold_in(self.key, 1), self.shape, self.dtype
+        ) * jnp.sqrt(jnp.asarray(self.t1 - self.t0, self.dtype))
+
+        def body(_, carry):
+            s, e, ws, we, node = carry
+            m = 0.5 * (s + e)
+            span = e - s
+            # Brownian bridge midpoint: N((ws+we)/2, span/4)
+            km = jax.random.fold_in(self.key, node)
+            wm = 0.5 * (ws + we) + jax.random.normal(
+                km, self.shape, self.dtype
+            ) * jnp.sqrt(0.25 * span)
+            go_left = t < m
+            s2 = jnp.where(go_left, s, m)
+            e2 = jnp.where(go_left, m, e)
+            ws2 = jnp.where(go_left, ws, wm)
+            we2 = jnp.where(go_left, wm, we)
+            # heap indexing: left child 2*node, right 2*node+1 (root = 2
+            # so fold_in indices never collide with the endpoint draw at 1)
+            node2 = jnp.where(go_left, 2 * node, 2 * node + 1)
+            return (s2, e2, ws2, we2, node2)
+
+        s0 = jnp.asarray(self.t0, self.dtype)
+        e0 = jnp.asarray(self.t1, self.dtype)
+        w0 = jnp.zeros(self.shape, self.dtype)
+        s, e, ws, we, _ = jax.lax.fori_loop(
+            0, self.depth, body, (s0, e0, w0, w1, jnp.asarray(2))
+        )
+        # linear (bridge-mean) interpolation inside the leaf
+        frac = jnp.clip((t - s) / jnp.maximum(e - s, 1e-30), 0.0, 1.0)
+        w = ws + frac * (we - ws)
+        # exact endpoints
+        w = jnp.where(t <= self.t0, w0, jnp.where(t >= self.t1, w1, w))
+        return w
+
+    def __call__(self, t):
+        return self.evaluate(t)
+
+    def tree_flatten(self):
+        return (self.key,), (self.t0, self.t1, self.shape, self.depth,
+                             self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)

@@ -34,6 +34,7 @@ from .brownian import BrownianGrid, brownian_increments, space_time_levy_area
 __all__ = [
     "make_grid",
     "sdeint",
+    "sdeint_adaptive",
     "odeint",
     "cdeint",
     "SOLVER_ORDERS",
@@ -441,3 +442,137 @@ def cdeint(X, func: Callable, z0, ts, *, dt: Optional[float] = None,
         return jnp.einsum("...hc,...c->...h", fz, dX)
 
     return odeint(ode_f, z0, ts, dt=dt, method=method, remat=remat)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive SDE integration over a Virtual Brownian Tree
+# ---------------------------------------------------------------------------
+
+def sdeint_adaptive(
+    f: Callable,
+    g: Callable,
+    y0,
+    ts,
+    *,
+    key,
+    rtol: float = 1e-3,
+    atol: float = 1e-4,
+    dt0: Optional[float] = None,
+    max_steps: int = 4096,
+    vbt_depth: int = 18,
+    differentiable: bool = False,
+):
+    """Adaptive-step Euler–Maruyama with step-doubling error control.
+
+    TPU-native analogue of torchsde's adaptive `euler` (the capability the
+    reference gets from torchsde's BrownianInterval; every reference entry
+    point pins fixed-grid euler/srk, so this extends beyond the paper's
+    configs for torchsde feature parity). Brownian increments come from a
+    `VirtualBrownianTree` (ops/brownian.py): W(t) is a pure function of
+    (key, t), so re-querying overlapping intervals after a step rejection
+    reuses the SAME path — the property that makes adaptive SDE stepping
+    well-defined.
+
+    Error control: one full Euler step vs two half steps on the same
+    bridge-consistent increments; elementwise tolerance
+    `atol + rtol * |y|`, step factor clipped to [0.2, 2.0], safety 0.9,
+    exponent 1/2. The half-step solution is kept on acceptance.
+
+    ts: concrete [T] output times. Returns ys [T, *y0.shape]. The step
+    loop is a bounded `lax.while_loop` per output interval (at most
+    `max_steps` accepted+rejected steps per interval) — fast but, like
+    ops/dopri.py, not reverse-mode differentiable. Set
+    `differentiable=True` to run the same control flow as a masked
+    `lax.scan` over exactly `max_steps` iterations per interval (choose a
+    modest bound, e.g. 64): identical results, reverse-mode AD works.
+    """
+    from .brownian import VirtualBrownianTree
+
+    ts_np = np.asarray(jax.device_get(ts), dtype=np.float64)
+    if ts_np.ndim != 1 or ts_np.shape[0] < 2:
+        raise ValueError("ts must be 1-D with at least two times")
+    dtype = jnp.result_type(y0)
+    y0 = jnp.asarray(y0, dtype)
+    shape = y0.shape
+    t_lo, t_hi = float(ts_np[0]), float(ts_np[-1])
+    vbt = VirtualBrownianTree(key, t_lo, t_hi, shape, depth=vbt_depth,
+                              dtype=dtype)
+    h0 = float(dt0) if dt0 is not None else (t_hi - t_lo) / 100.0
+    h_min = (t_hi - t_lo) * 2.0 ** (-float(vbt_depth))
+
+    def err_norm(e, y_ref):
+        tol = atol + rtol * jnp.abs(y_ref)
+        # +eps keeps sqrt differentiable at e == 0 (masked no-op steps in
+        # differentiable mode hit exactly zero error)
+        return jnp.sqrt(jnp.mean((e / tol) ** 2) + 1e-12)
+
+    def advance(t, y, h):
+        """One trial step of size h from (t, y): full vs two halves."""
+        tm = t + 0.5 * h
+        te = t + h
+        w0 = vbt.evaluate(t)
+        wm = vbt.evaluate(tm)
+        we = vbt.evaluate(te)
+        dw_full = we - w0
+        y_full = y + f(t, y) * h + g(t, y) * dw_full
+        y_half = y + f(t, y) * (0.5 * h) + g(t, y) * (wm - w0)
+        y_half = y_half + f(tm, y_half) * (0.5 * h) \
+            + g(tm, y_half) * (we - wm)
+        return y_full, y_half
+
+    def solve_interval(carry, t_pair):
+        y_in, h_in = carry
+        t_start, t_end = t_pair
+
+        def cond(st):
+            t, _, _, n, done = st
+            return jnp.logical_and(jnp.logical_not(done), n < max_steps)
+
+        def body(st):
+            t, y, h, n, _ = st
+            # step-size control is non-differentiable by construction
+            # (discrete accept/reject; Brownian queries are nowhere
+            # differentiable in t) — gradients flow through the STATE
+            # chain on the realized grid, the standard
+            # discretize-then-optimize semantics for adaptive solvers
+            h_eff = jax.lax.stop_gradient(jnp.minimum(h, t_end - t))
+            t_sg = jax.lax.stop_gradient(t)
+            y_full, y_half = advance(t_sg, y, h_eff)
+            err = jax.lax.stop_gradient(err_norm(y_full - y_half, y))
+            accept = err <= 1.0
+            factor = jnp.clip(
+                0.9 * jax.lax.rsqrt(jnp.maximum(err, 1e-10)), 0.2, 2.0
+            )
+            h_new = jnp.maximum(h_eff * factor, h_min)
+            t2 = jnp.where(accept, t_sg + h_eff, t_sg)
+            y2 = jnp.where(accept, y_half, y)
+            done = t2 >= t_end - 1e-12 * max(abs(t_hi), 1.0)
+            return (t2, y2, h_new, n + 1, done)
+
+        init = (t_start, y_in, jnp.minimum(h_in, t_end - t_start),
+                jnp.asarray(0), jnp.asarray(False))
+        if differentiable:
+            # masked fixed-length scan: no-op once done (reverse-mode AD)
+            def scan_body(st, _):
+                take = cond(st)
+                nxt = body(st)
+                st2 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(take, b, a), st, nxt
+                )
+                return st2, None
+
+            (t_f, y_f, h_f, n_f, _), _ = jax.lax.scan(
+                scan_body, init, None, length=max_steps
+            )
+        else:
+            t_f, y_f, h_f, n_f, _ = jax.lax.while_loop(cond, body, init)
+        return (y_f, h_f), y_f
+
+    pairs = jnp.stack(
+        [jnp.asarray(ts_np[:-1], dtype), jnp.asarray(ts_np[1:], dtype)],
+        axis=1,
+    )
+    (_, _), ys_tail = jax.lax.scan(
+        solve_interval, (y0, jnp.asarray(h0, dtype)), pairs
+    )
+    return jnp.concatenate([y0[None], ys_tail], axis=0)
