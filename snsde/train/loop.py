@@ -297,14 +297,18 @@ def fit_classifier(
     else:
         device_train = {k: jnp.asarray(v) for k, v in train_data.items()}
 
+    # device_train is passed as an ARGUMENT (not closed over): jit treats
+    # closed-over device arrays as constants embedded in the serialized
+    # HLO, which blows past remote-compile payload limits for real-size
+    # training sets (seen at n=8192 sepsis: HTTP 413)
     @jax.jit
-    def epoch_step(m, opt_state, perm, masks, keys, lr):
+    def epoch_step(m, opt_state, dtrain, perm, masks, keys, lr):
         opt_state.hyperparams["learning_rate"] = lr
 
         def body(carry, xs):
             mm, os_ = carry
             idx, mask, k = xs
-            batch = {kk: vv[idx] for kk, vv in device_train.items()}
+            batch = {kk: vv[idx] for kk, vv in dtrain.items()}
             if mesh is not None and _batch_divisible:
                 batch = jax.lax.with_sharding_constraint(
                     batch, _data_sharding
@@ -332,7 +336,8 @@ def fit_classifier(
         perm = idx.reshape(nb_train, cfg.batch_size).astype(np.int32)
         masks = mask.reshape(nb_train, cfg.batch_size)
         keys = jax.random.split(key, nb_train)
-        m, opt_state, losses = epoch_step(m, opt_state, perm, masks, keys,
+        m, opt_state, losses = epoch_step(m, opt_state, device_train,
+                                          perm, masks, keys,
                                           jnp.asarray(lr))
         return m, opt_state, nb_train
 
