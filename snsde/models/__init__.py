@@ -28,6 +28,7 @@ from .neuralcde import (
     NeuralCDEStream,
     SingleHiddenLayer,
 )
+from .ensemble import SeedEnsemble
 from .neuralsde import (
     NDEModel,
     NeuralSDE,

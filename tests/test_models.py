@@ -172,3 +172,87 @@ def test_latent_sde_zero_kl_when_posterior_equals_prior(setup):
     )
     _, _, logqp = m(cv, times, key=key, method="euler")
     assert abs(float(logqp)) < 1e-5
+
+
+class TestSeedEnsemble:
+    """K seed-replicas trained through one lane-packed solve
+    (models/ensemble.py; mirrors the reference's 5-repeat grids)."""
+
+    def _setup(self, K=3):
+        from snsde.fields import DiffusionField
+        from snsde.models import SeedEnsemble
+
+        rng = np.random.default_rng(0)
+        B, L, C, H = 16, 8, 3, 6
+        times = np.arange(L, dtype=np.float32)
+        X = rng.normal(size=(B, L, C)).astype(np.float32)
+        coeffs = hermite_cubic_coeffs(jnp.asarray(times),
+                                      jnp.asarray(X))
+        y = jnp.asarray((rng.random(B) < 0.5).astype(np.float32))
+        fi = jnp.full((B,), L - 1, jnp.int32)
+        ens = SeedEnsemble.create(
+            jax.random.PRNGKey(0),
+            lambda k: DiffusionField.create(k, C, H, H, 1, input_option=4,
+                                            noise_option=17),
+            input_channels=C, hidden_channels=H, output_channels=1,
+            n_members=K,
+        )
+        return ens, times, coeffs, y, fi, (B, K)
+
+    def test_members_independent_and_match_solo(self):
+        ens, times, coeffs, y, fi, (B, K) = self._setup()
+        logits, _ = ens(times, coeffs, fi, key=jax.random.PRNGKey(1))
+        assert logits.shape == (K, B, 1)
+        # different weights + noise -> distinct members
+        assert not bool(jnp.allclose(logits[0], logits[1]))
+        # member i's solve must equal a solo solve of the same field with
+        # the same per-member key (the ensemble's key-split contract)
+        ksolve, _ = jax.random.split(jax.random.PRNGKey(1))
+        keys = jax.random.split(ksolve, K)
+        zs = ens.solve(times, coeffs, key=ksolve)
+        from snsde.models.neuralsde import solve_dispatch
+        from snsde.ops.interp import CubicPath
+
+        path = CubicPath(coeffs, times)
+        for i in range(K):
+            y0 = ens.initial_networks[i](
+                path.evaluate(jnp.asarray(times)[0]))
+            zi = solve_dispatch(ens.fields[i].bind(path), path, times, y0,
+                                key=keys[i], dt=None, method="euler")
+            np.testing.assert_allclose(np.asarray(zs[i]), np.asarray(zi),
+                                       atol=1e-5)
+
+    def test_ensemble_trains(self):
+        import optax
+
+        from snsde.nn.core import combine, filter_value_and_grad, partition
+        from snsde.train.loop import bce_with_logits
+
+        ens, times, coeffs, y, fi, (B, K) = self._setup()
+        tx = optax.adam(1e-2)
+        params, _ = partition(ens)
+        opt_state = tx.init(params)
+
+        def loss_fn(m, key):
+            logits, new_m = m(times, coeffs, fi, key=key, train=True)
+            per = jnp.stack([
+                bce_with_logits(logits[i, :, 0], y) for i in range(K)
+            ])
+            return jnp.sum(per), (per, new_m)
+
+        vg = filter_value_and_grad(loss_fn, has_aux=True)
+
+        @jax.jit
+        def step(m, os_, key):
+            (tot, (per, new_m)), grads = vg(m, key)
+            p, rest = partition(new_m)
+            up, os2 = tx.update(grads, os_, p)
+            return combine(optax.apply_updates(p, up), rest), os2, per
+
+        key = jax.random.PRNGKey(3)
+        ens2, opt_state, per0 = step(ens, opt_state, key)
+        for i in range(25):
+            ens2, opt_state, per = step(ens2, opt_state,
+                                        jax.random.fold_in(key, i))
+        # every member's loss decreases independently
+        assert bool(jnp.all(per < per0))
