@@ -207,7 +207,7 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
         y_scr[:] = r["y0"][:]
 
     y = y_scr[:]
-    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    s_theta = jax.nn.sigmoid(r["theta"][:])      # [1, H] per-lane theta
     for u in range(U):
         dt = r["dts"][k * U + u, 0]
         y, _ = _srk_step(cfg, n_inner, r, u, y, dt, s_theta)
@@ -233,8 +233,8 @@ def _specs_for(names, nk, B, H, block_b, U, reverse=False):
                            memory_space=pltpu.VMEM),
         "yprev": s3, "gys": s3,
         "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
-        "theta": pl.BlockSpec((1, 1), lambda b, k: (0, 0),
-                              memory_space=pltpu.SMEM),
+        "theta": pl.BlockSpec((1, H), lambda b, k: (0, 0),
+                              memory_space=pltpu.VMEM),
     }
     for n in _STEP3:
         by_name[n] = s3
@@ -307,13 +307,13 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
     @pl.when(k == 0)
     def _():
         gbar_scr[:] = jnp.zeros_like(gbar_scr)
-        dth_scr[0, 0] = 0.0
+        dth_scr[:] = jnp.zeros_like(dth_scr)
         for n in acc_names:
             o[n][0] = jnp.zeros_like(o[n][0])
 
     gbar = gbar_scr[:]
-    dth = dth_scr[0, 0]
-    s_theta = jax.nn.sigmoid(r["theta"][0, 0])
+    dth = dth_scr[:]                              # [1, H]
+    s_theta = jax.nn.sigmoid(r["theta"][:])      # [1, H]
     ds_dtheta = s_theta * (1.0 - s_theta)
 
     for u in range(U - 1, -1, -1):
@@ -339,7 +339,8 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
             graw, base, naux = noise_saves[stage]
             g = gs[stage]
             dsg = dg_stage * (1.0 - g * g)
-            dth += jnp.sum(dsg * graw) * ds_dtheta
+            dth = dth + (jnp.sum(dsg * graw, axis=0, keepdims=True)
+                         * ds_dtheta)
             dgraw = dsg * s_theta
             rv = _stage_view(r, u, noise_time=_NOISE_TIME[stage])
             dstate, nex = _noise_bwd(cfg, rv, state, base, naux, dgraw, o)
@@ -405,12 +406,12 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         gbar = dy
 
     gbar_scr[:] = gbar
-    dth_scr[0, 0] = dth
+    dth_scr[:] = dth
 
     @pl.when(k == nk - 1)
     def _():
         o["dy0"][0] = gbar_scr[:]
-        o["dtheta"][0, 0, 0] = dth_scr[0, 0]
+        o["dtheta"][0] = dth_scr[:]
 
 
 def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
@@ -447,9 +448,9 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
         "dy0": ((nb, block_b, H), jnp.float32,
                 pl.BlockSpec((1, block_b, H), lambda b, k: (b, 0, 0),
                              memory_space=pltpu.VMEM)),
-        "dtheta": ((nb, 1, 1), jnp.float32,
-                   pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
-                                memory_space=pltpu.SMEM)),
+        "dtheta": ((nb, 1, H), jnp.float32,
+                   pl.BlockSpec((1, 1, H), lambda b, k: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
     }
     w_out = ((nb, H, H), jnp.float32,
              pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
@@ -479,7 +480,7 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_b, H), jnp.float32),           # gbar
-            pltpu.SMEM((1, 1), jnp.float32),                 # dtheta acc
+            pltpu.VMEM((1, H), jnp.float32),                 # dtheta acc
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -620,7 +621,7 @@ def _precomp_gk(field, no, tvec):
 
 
 def fused_srk_solve(field, path, times, y0, key, dt=None,
-                    stream_dtype=None):
+                    stream_dtype=None, brownian_override=None):
     """Drop-in SRIW1 solve for a supported DiffusionField. Returns
     ys [T, B, H] on the output times. Key handling matches
     ops.solve.sdeint (kw -> dW, ku -> Lévy area) so the same seed draws
@@ -658,9 +659,14 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
-    kw, ku = jax.random.split(key)
-    dW = brownian_increments(kw, grid, (B, H), jnp.float32)
-    I10 = space_time_levy_area(ku, grid, (B, H), dW, jnp.float32)
+    if brownian_override is not None:
+        # caller-supplied (dW, I10) [M, B, H] — lane-packed multi-model
+        # solves draw per model with per-model keys and concatenate
+        dW, I10 = brownian_override
+    else:
+        kw, ku = jax.random.split(key)
+        dW = brownian_increments(kw, grid, (B, H), jnp.float32)
+        I10 = space_time_levy_area(ku, grid, (B, H), dW, jnp.float32)
 
     dts_np = np.diff(grid).astype(np.float64)
     t0_np = grid[:-1]
@@ -673,7 +679,13 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
         "dw": _pad_to(dW, Hp, 2).astype(stream_dtype),
         "i10": _pad_to(I10, Hp, 2).astype(stream_dtype),
     }
-    params = {"theta": field.theta.astype(jnp.float32)}
+    # theta as a [1, Hp] lane row (per-model rows under lane packing)
+    th = field.theta.astype(jnp.float32).reshape(1, -1)
+    if th.shape[1] == 1:
+        th = jnp.broadcast_to(th, (1, Hp))
+    else:
+        th = _pad_to(th, Hp, 1)
+    params = {"theta": th}
 
     # --- drift precompute per stage time ---
     if cfg["drift"] in ("xt", "emb"):

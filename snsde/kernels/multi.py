@@ -35,7 +35,8 @@ from jax.scipy.linalg import block_diag
 
 from .fused_em import fused_em_solve
 
-__all__ = ["fused_em_solve_packed", "pack_fields"]
+__all__ = ["fused_em_solve_packed", "fused_srk_solve_packed",
+           "pack_fields"]
 
 
 def _ns(**kw):
@@ -214,5 +215,43 @@ def fused_em_solve_packed(fields, path, times, y0s, keys, dt=None,
     y0 = jnp.concatenate([y0s[i] for i in range(K)], axis=-1)  # [B, K*H]
     ys = fused_em_solve(packed, path, times, y0, keys[0], dt=dt,
                         stream_dtype=stream_dtype, dW_override=dW)
+    T = ys.shape[0]
+    return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)
+
+
+def fused_srk_solve_packed(fields, path, times, y0s, keys, dt=None,
+                           stream_dtype=None):
+    """Lane-packed SRIW1 solve — same contract as fused_em_solve_packed
+    but through the fused SRK kernel (the torch-ists default solver), with
+    per-model (dW, I10) drawn exactly like fused_srk_solve would from
+    each member's key. Returns ys [K, T, B, H]."""
+    from ..kernels.fused_srk import fused_srk_solve
+    from ..models.neuralsde import resolve_dt
+    from ..ops.brownian import brownian_increments, space_time_levy_area
+    from ..ops.solve import make_grid
+
+    K = len(fields)
+    if y0s.shape[0] != K or len(keys) != K:
+        raise ValueError("need one y0 slice and one key per field")
+    H = fields[0].linear_out.out_features
+    B = y0s.shape[1]
+    packed = pack_fields(fields)
+
+    dt = resolve_dt(times) if dt is None else dt
+    grid, _ = make_grid(times, dt)
+    dWs, I10s = [], []
+    for i in range(K):
+        kw, ku = jax.random.split(keys[i])
+        dw = brownian_increments(kw, grid, (B, H), jnp.float32)
+        dWs.append(dw)
+        I10s.append(space_time_levy_area(ku, grid, (B, H), dw,
+                                         jnp.float32))
+    dW = jnp.concatenate(dWs, axis=-1)
+    I10 = jnp.concatenate(I10s, axis=-1)
+
+    y0 = jnp.concatenate([y0s[i] for i in range(K)], axis=-1)
+    ys = fused_srk_solve(packed, path, times, y0, keys[0], dt=dt,
+                         stream_dtype=stream_dtype,
+                         brownian_override=(dW, I10))
     T = ys.shape[0]
     return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)

@@ -158,3 +158,28 @@ def test_fused_srk_solve_dispatch(setting, monkeypatch):
     ys_fused = fused_srk_solve(field, path, times, y0, k, dt=dt)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_fused),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("io,no", [(4, 17), (1, 18), (0, 4)])
+def test_srk_lane_packed(setting, io, no):
+    """K models through one lane-packed SRK kernel reproduce each
+    single-model fused_srk_solve exactly (same per-model keys -> same
+    (dW, I10))."""
+    from snsde.kernels.fused_srk import fused_srk_solve
+    from snsde.kernels.multi import fused_srk_solve_packed
+
+    path, times, y0, (B, C, H) = setting
+    K = 3
+    fields = [DiffusionField.create(jax.random.PRNGKey(20 + i), C, H, H, 1,
+                                    input_option=io, noise_option=no)
+              for i in range(K)]
+    keys = list(jax.random.split(jax.random.PRNGKey(4), K))
+    y0s = jnp.stack([y0 + 0.1 * i for i in range(K)])
+    dt = resolve_dt(times)
+    ys_packed = fused_srk_solve_packed(fields, path, times, y0s, keys,
+                                       dt=dt)
+    for i in range(K):
+        ys_i = fused_srk_solve(fields[i], path, times, y0s[i], keys[i],
+                               dt=dt)
+        np.testing.assert_allclose(np.asarray(ys_packed[i]),
+                                   np.asarray(ys_i), atol=1e-5)
