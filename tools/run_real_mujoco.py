@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--models", nargs="*",
                     default=["neurallsde", "neurallnsde", "neuralgsde"])
+    ap.add_argument("--method", default="euler",
+                    help="euler | srk (the reference whitelist)")
     ap.add_argument("--out", default="RESULTS_mujoco_real.json")
     args = ap.parse_args()
 
@@ -48,7 +50,7 @@ def main():
             time_augment=False,           # mujoco.sh --intensity false
             step_mode="valloss",
             loss="mse", reg="l2", reg_scale=0.01,
-            method="euler",
+            method=args.method,
             seed=args.seed,
             verbose=True,
         )
@@ -56,6 +58,7 @@ def main():
         res = run_mujoco(cfg)
         rec = {
             "model": name,
+            "method": args.method,
             "hidden": args.hidden,
             "layers": args.layers,
             "missing_rate": args.missing,
