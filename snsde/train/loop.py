@@ -341,33 +341,65 @@ def fit_classifier(
                                           jnp.asarray(lr))
         return m, opt_state, nb_train
 
+    # Evaluation mirrors the device-resident training epoch: every eval
+    # set is uploaded ONCE and per-epoch evaluation ships only an
+    # [nb, ebs] index grid + mask (a few KB), with batches gathered on
+    # device inside a scanned jit. The previous per-batch host slicing
+    # re-uploaded the full dataset every epoch (~400 MB/epoch at sepsis
+    # size over the remote runtime link — the dominant wall-time cost of
+    # the flagship run).
+    _eval_device_cache = {}
+
+    def _eval_resident(data):
+        cache_key = id(data)
+        if cache_key not in _eval_device_cache:
+            if data is train_data:
+                _eval_device_cache[cache_key] = device_train
+            else:
+                _eval_device_cache[cache_key] = {
+                    k: jnp.asarray(v) for k, v in data.items()
+                }
+        return _eval_device_cache[cache_key]
+
     @jax.jit
-    def eval_step(m, batch, key):
-        loss, (logits, _) = loss_fn(m, batch, key, False)
-        return logits, loss
+    def eval_scan(m, ddata, perm, masks, keys):
+        def body(_, xs):
+            idx, mask, k = xs
+            batch = {kk: vv[idx] for kk, vv in ddata.items()}
+            batch["_mask"] = mask
+            loss, (logits, _) = loss_fn(m, batch, k, False)
+            return None, (logits, loss)
+
+        _, (logits, losses) = jax.lax.scan(body, None, (perm, masks, keys))
+        return logits, losses
 
     def evaluate(m, data, key) -> ClassificationMetrics:
         ebs = cfg.eval_batch_size or cfg.batch_size
-        logits_all, ys, losses, sizes = [], [], [], []
-        for i, (batch, n_valid) in enumerate(
-            iterate_batches(data, ebs, rng=None)
-        ):
-            bs = next(iter(batch.values())).shape[0]
-            mask = np.zeros(bs, np.float32)
-            mask[:n_valid] = 1.0
-            batch = dict(batch)
-            batch["_mask"] = mask
-            logits, loss = eval_step(m, _to_device(batch),
-                                     jax.random.fold_in(key, i))
-            logits_all.append(np.asarray(logits)[:n_valid])
-            ys.append(np.asarray(batch["y"])[:n_valid])
-            losses.append(float(loss) * n_valid)
-            sizes.append(n_valid)
-        total = sum(sizes)
+        n = next(iter(data.values())).shape[0]
+        nb = max(1, -(-n // ebs))
+        idx = np.arange(n)
+        pad = nb * ebs - n
+        mask = np.ones(nb * ebs, np.float32)
+        if pad:
+            idx = np.concatenate([idx, np.resize(idx, pad)])
+            mask[-pad:] = 0.0
+        perm = idx.reshape(nb, ebs).astype(np.int32)
+        masks = mask.reshape(nb, ebs)
+        keys = jnp.stack(
+            [jax.random.fold_in(key, i) for i in range(nb)]
+        )
+        logits, losses = eval_scan(m, _eval_resident(data), perm, masks,
+                                   keys)
+        logits = np.asarray(logits)
+        logits = logits.reshape(nb * ebs, *logits.shape[2:])
+        valid = mask > 0
+        n_valids = masks.sum(axis=1)
+        total = float(n_valids.sum())
+        loss = float((np.asarray(losses) * n_valids).sum() / total)
         return classification_metrics(
-            np.concatenate(ys),
-            np.concatenate(logits_all),
-            sum(losses) / total,
+            np.asarray(data["y"])[idx[valid]],
+            logits[valid],
+            loss,
             nc,
         )
 
