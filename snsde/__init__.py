@@ -34,6 +34,31 @@ if _os.environ.get("SNSDE_PRNG", "rbg") == "rbg":
     except Exception:  # pragma: no cover - older jax
         pass
 
+# Persistent compilation cache (bench.py has used one since round 1; this
+# enables it library-wide). Caching effectiveness for the heavyweight
+# Mosaic kernel executables depends on the PJRT plugin's serialization
+# support — entries are written and hit on this runtime, but a warm
+# flagship rerun was not measurably faster, so treat it as best-effort.
+# Opt out with SNSDE_COMPILE_CACHE=0 or point it elsewhere with
+# SNSDE_COMPILE_CACHE=<dir>.
+_cache = _os.environ.get("SNSDE_COMPILE_CACHE", "1")
+if _cache != "0":
+    _cache_dir = (
+        _cache
+        if _cache not in ("1", "")
+        else _os.path.join(
+            _os.path.expanduser("~"), ".cache", "snsde", "jax"
+        )
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:  # pragma: no cover - older jax / RO filesystem
+        pass
+
 from . import fields, nn, ops
 from .fields import (
     MODEL_NAME_GRID,
