@@ -139,13 +139,16 @@ def main():
 
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "BENCH_BASELINE.json")
-    vs_baseline = 1.0
-    if os.path.exists(baseline_file):
+    # the recorded baseline is the round-1 EM/LNSDE measurement; a ratio
+    # against it is only meaningful for that same config
+    default_config = MODEL == "neurallnsde" and METHOD == "euler"
+    vs_baseline = 1.0 if default_config else None
+    if default_config and os.path.exists(baseline_file):
         with open(baseline_file) as f:
             base = json.load(f)
         if base.get("value"):
             vs_baseline = em_steps_per_sec / base["value"]
-    else:
+    elif default_config:
         with open(baseline_file, "w") as f:
             json.dump(
                 {
@@ -168,7 +171,8 @@ def main():
                           f"{'LNSDE' if MODEL == 'neurallnsde' else MODEL})",
                 "value": round(em_steps_per_sec, 1),
                 "unit": "solver_steps*samples/sec",
-                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline": (round(vs_baseline, 3)
+                                if vs_baseline is not None else None),
             }
         )
     )

@@ -34,14 +34,14 @@ if _os.environ.get("SNSDE_PRNG", "rbg") == "rbg":
     except Exception:  # pragma: no cover - older jax
         pass
 
-# Persistent compilation cache (bench.py has used one since round 1; this
-# enables it library-wide). Caching effectiveness for the heavyweight
-# Mosaic kernel executables depends on the PJRT plugin's serialization
-# support — entries are written and hit on this runtime, but a warm
-# flagship rerun was not measurably faster, so treat it as best-effort.
-# Opt out with SNSDE_COMPILE_CACHE=0 or point it elsewhere with
-# SNSDE_COMPILE_CACHE=<dir>.
-_cache = _os.environ.get("SNSDE_COMPILE_CACHE", "1")
+# Persistent compilation cache — OPT-IN via SNSDE_COMPILE_CACHE=<dir>
+# (or =1 for ~/.cache/snsde/jax). Not enabled by default: on this
+# runtime a warm rerun of the heavyweight Mosaic kernels was not
+# measurably faster, and cached XLA:CPU AOT blobs carry the compile
+# host's machine features ("could lead to execution errors such as
+# SIGILL" when loaded on a different host) — a bad trade as a silent
+# default. bench.py keeps its own repo-local cache as before.
+_cache = _os.environ.get("SNSDE_COMPILE_CACHE", "0")
 if _cache != "0":
     _cache_dir = (
         _cache

@@ -84,6 +84,39 @@ def _pdot(a, b):
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGH)
 
 
+def _time_features(t):
+    return jnp.stack([jnp.sin(t), jnp.cos(t)], axis=-1)
+
+
+def _precomp_gk(field, no, tvec):
+    """Diffusion magnitude gk(t) over a stage-time vector [M] for the
+    t-only ('precomp') noise families — shared by the EM and SRK solver
+    entries (reference neuralsde.py:241-288 noise options 0-6, 11-13,
+    16-17)."""
+    M = tvec.shape[0]
+    H = field.linear_out.out_features
+    tcol = tvec[:, None]
+    tf = _time_features(tvec)
+    if no == 0:
+        return jnp.zeros((M, H))
+    if no in (1, 2, 3):
+        gk = jnp.broadcast_to(jnp.exp(field.sigma), (M, H))
+        return gk * tcol if no == 2 else gk
+    if no in (4, 5, 6):
+        gk = jnp.broadcast_to(jnp.exp(field.sigma_diag), (M, H))
+        return gk * tcol if no == 5 else gk
+    if no == 11:
+        return jnp.broadcast_to(tcol, (M, H))
+    if no in (12, 13):
+        n1 = field.noise_t[0]
+        return _pdot(tf, n1.weight) + n1.bias
+    nt1, nt2 = field.noise_t                     # 16, 17
+    return jax.nn.relu(
+        _pdot(jax.nn.relu(_pdot(tf, nt1.weight) + nt1.bias), nt2.weight)
+        + nt2.bias
+    )
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -947,29 +980,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
 
     # --- diffusion precompute ---
     if cfg["noise"] == "precomp":
-        tcol = t_lo[:, None]                             # [M, 1]
-        if no == 0:
-            gk = jnp.zeros((M, H))
-        elif no in (1, 2, 3):
-            gk = jnp.broadcast_to(jnp.exp(field.sigma), (M, H))
-            if no == 2:
-                gk = gk * tcol
-        elif no in (4, 5, 6):
-            gk = jnp.broadcast_to(jnp.exp(field.sigma_diag), (M, H))
-            if no == 5:
-                gk = gk * tcol
-        elif no == 11:
-            gk = jnp.broadcast_to(tcol, (M, H))
-        elif no in (12, 13):
-            n1 = field.noise_t[0]
-            gk = _pdot(tf, n1.weight) + n1.bias
-        else:                                            # 16, 17
-            nt1, nt2 = field.noise_t
-            gk = jax.nn.relu(
-                _pdot(jax.nn.relu(_pdot(tf, nt1.weight) + nt1.bias),
-                      nt2.weight)
-                + nt2.bias
-            )
+        gk = _precomp_gk(field, no, t_lo)
         streams["gk"] = _pad_to(gk, Hp, 1)[:, None, :]
     elif cfg["noise"] in ("net1", "net2"):
         n1 = field.noise_y[0]

@@ -43,12 +43,15 @@ from .fused_em import (
     _config,
     _drift_bwd,
     _drift_forward,
+    _flatten_params,
     _interpret,
     _noise_bwd,
     _noise_forward,
     _pad_to,
     _pdot,
+    _precomp_gk,
     _round_up,
+    _time_features,
 )
 
 __all__ = ["fused_srk_solve", "supports_fused_srk"]
@@ -62,17 +65,6 @@ _BETA3 = (2.0, -4.0 / 3.0, -2.0 / 3.0, 0.0)
 _BETA4 = (-2.0, 5.0 / 3.0, -2.0 / 3.0, 1.0)
 # noise stage -> which of the 3 distinct stage times it evaluates at
 _NOISE_TIME = (0, 1, 2, 1)
-
-
-def _flatten_params(params):
-    flat = {}
-    for k, v in params.items():
-        if k in ("w_inner", "b_inner"):
-            for i, vi in enumerate(v):
-                flat[f"{k}{i}"] = vi
-        else:
-            flat[k] = v
-    return flat
 
 
 def _srk_input_names(cfg, n_inner):
@@ -586,38 +578,6 @@ def supports_fused_srk(field) -> bool:
     if io is None or no is None:
         return False
     return 0 <= io <= 6 and 0 <= no <= 19
-
-
-def _time_features(t):
-    return jnp.stack([jnp.sin(t), jnp.cos(t)], axis=-1)
-
-
-def _precomp_gk(field, no, tvec):
-    """Diffusion magnitude gk(t) over a stage-time vector [M] for the
-    t-only ('precomp') noise families (fused_em.py precompute, hoisted so
-    the SRK kernel can reuse it per stage time)."""
-    M = tvec.shape[0]
-    H = field.linear_out.out_features
-    tcol = tvec[:, None]
-    tf = _time_features(tvec)
-    if no == 0:
-        return jnp.zeros((M, H))
-    if no in (1, 2, 3):
-        gk = jnp.broadcast_to(jnp.exp(field.sigma), (M, H))
-        return gk * tcol if no == 2 else gk
-    if no in (4, 5, 6):
-        gk = jnp.broadcast_to(jnp.exp(field.sigma_diag), (M, H))
-        return gk * tcol if no == 5 else gk
-    if no == 11:
-        return jnp.broadcast_to(tcol, (M, H))
-    if no in (12, 13):
-        n1 = field.noise_t[0]
-        return _pdot(tf, n1.weight) + n1.bias
-    nt1, nt2 = field.noise_t                     # 16, 17
-    return jax.nn.relu(
-        _pdot(jax.nn.relu(_pdot(tf, nt1.weight) + nt1.bias), nt2.weight)
-        + nt2.bias
-    )
 
 
 def fused_srk_solve(field, path, times, y0, key, dt=None,

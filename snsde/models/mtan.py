@@ -99,8 +99,12 @@ class MultiTimeAttention(Module):
         )
 
     def attention_weights(self, query, key, mask=None):
-        """Softmax attention weights over key positions — [B, h, Lq, Lk]
-        (unmasked) rows sum to 1. Exposed for inspection/testing."""
+        """The attention distributions __call__ actually uses. Without a
+        mask: [B, h, Lq, Lk], rows sum to 1 over key positions. With a
+        mask [B, Lk, D]: [B, h, Lq, Lk, D] — one masked softmax PER VALUE
+        CHANNEL, exactly mirroring __call__'s per-channel masking (a key
+        position can be observed in some channels and missing in others).
+        Exposed for inspection/testing."""
         h = self.num_heads
         dk = self.embed_time // h
         q = self.wq(query).reshape(query.shape[:-1] + (h, dk))
@@ -108,11 +112,12 @@ class MultiTimeAttention(Module):
         if q.ndim == 3:
             q = jnp.broadcast_to(q[None], (key.shape[0],) + q.shape)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dk)
-        if mask is not None:
-            scores = jnp.where(
-                jnp.any(mask, -1)[:, None, None, :] == 0, -1e9, scores
-            )
-        return jax.nn.softmax(scores, axis=-1)
+        if mask is None:
+            return jax.nn.softmax(scores, axis=-1)
+        scores = scores[..., None]                       # [B,h,Lq,Lk,1]
+        m = mask[:, None, None, :, :]                    # [B,1,1,Lk,D]
+        scores = jnp.where(m == 0, -1e9, scores)
+        return jax.nn.softmax(scores, axis=-2)           # over keys
 
     def __call__(self, query, key, value, mask=None):
         """query [Bq?, Lq, E], key [B, Lk, E], value [B, Lk, D],

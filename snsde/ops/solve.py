@@ -485,6 +485,10 @@ def sdeint_adaptive(
     `differentiable=True` to run the same control flow as a masked
     `lax.scan` over exactly `max_steps` iterations per interval (choose a
     modest bound, e.g. 64): identical results, reverse-mode AD works.
+
+    If an interval exhausts `max_steps` before reaching its endpoint
+    (tolerances too tight for the budget), the returned states from that
+    point on are NaN — never a silent partial integration.
     """
     from .brownian import VirtualBrownianTree
 
@@ -561,11 +565,17 @@ def sdeint_adaptive(
                 )
                 return st2, None
 
-            (t_f, y_f, h_f, n_f, _), _ = jax.lax.scan(
+            (t_f, y_f, h_f, n_f, done_f), _ = jax.lax.scan(
                 scan_body, init, None, length=max_steps
             )
         else:
-            t_f, y_f, h_f, n_f, _ = jax.lax.while_loop(cond, body, init)
+            t_f, y_f, h_f, n_f, done_f = jax.lax.while_loop(cond, body,
+                                                            init)
+        # Exhausting max_steps before reaching t_end must NOT return a
+        # plausible-looking partial integration (torchsde raises here;
+        # raising on a traced condition is impossible under jit, so the
+        # state is poisoned with NaN instead — loud and checkable).
+        y_f = jnp.where(done_f, y_f, jnp.nan)
         return (y_f, h_f), y_f
 
     pairs = jnp.stack(

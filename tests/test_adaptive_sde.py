@@ -143,3 +143,19 @@ class TestAdaptiveEM:
                                  rtol=rtol, atol=rtol * 0.1)
             errs.append(abs(float(ys[-1].mean()) - exact))
         assert errs[1] < errs[0]
+
+
+def test_exhausted_budget_poisons_with_nan():
+    """Exhausting max_steps before an interval endpoint must return NaN,
+    never a plausible-looking partial integration (torchsde raises; NaN
+    is the jit-compatible loud failure)."""
+    f = lambda t, y: -50.0 * y
+    g = lambda t, y: 0.0 * y
+    ts = np.array([0.0, 0.5, 1.0], np.float32)
+    y0 = jnp.ones((4,))
+    ys = sdeint_adaptive(f, g, y0, ts, key=jax.random.PRNGKey(0),
+                         rtol=1e-6, atol=1e-8, max_steps=8)
+    assert bool(jnp.isnan(ys[-1]).all())
+    ys_ok = sdeint_adaptive(f, g, y0, ts, key=jax.random.PRNGKey(0),
+                            rtol=1e-3, atol=1e-4)
+    assert bool(jnp.isfinite(ys_ok).all())

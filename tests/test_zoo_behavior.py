@@ -4,6 +4,8 @@ execution sweep so every one of the 226 names runs at least once."""
 
 import jax
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 import pytest
 
@@ -218,6 +220,16 @@ def test_mtan_attention_weights_normalized():
     v = jax.random.normal(jax.random.fold_in(key, 3), (B, Lk, 6))
     w = att.attention_weights(q, k)
     np.testing.assert_allclose(np.asarray(w.sum(axis=-1)), 1.0, rtol=1e-5)
+    # per-channel masked weights mirror __call__ exactly: missing
+    # (position, channel) pairs get zero weight, rows renormalize
+    mask = (jax.random.uniform(jax.random.fold_in(key, 4),
+                               (B, Lk, 6)) > 0.4).astype(np.float32)
+    wm = att.attention_weights(q, k, mask=mask)
+    assert wm.shape == (B, 1, Lq, Lk, 6)
+    np.testing.assert_allclose(np.asarray(wm.sum(axis=-2)), 1.0,
+                               rtol=1e-5)
+    dead = np.asarray(wm)[:, 0] * (1 - np.asarray(mask))[:, None]
+    assert float(dead.max()) < 1e-6
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +260,7 @@ def test_every_registry_name_executes():
     for name in MODEL_NAMES:
         try:
             layer = make_seq_layer(key, name, D, L, 4, 4)
-            res = layer(seq, coeffs, key=jax.random.fold_in(key, hash(name) % 2**31))
+            res = layer(seq, coeffs, key=jax.random.fold_in(key, zlib.crc32(name.encode()) % 2**31))
             out = res[0]
             assert out.shape[0] == B, name
             assert bool(jnp.isfinite(out).all()), name

@@ -14,8 +14,10 @@ snsde's scan and fused paths are measured on the SAME jax CPU backend
 for an apples-to-apples framework comparison, and the TPU headline from
 bench.py is quoted for the cross-hardware ratio.
 
-Run: PYTHONPATH=. python tools/bench_torch_reference.py
-Writes RESULTS_torch_baseline.json.
+Run from the repo root: python tools/bench_torch_reference.py
+(the script inserts the repo on sys.path itself; never SET PYTHONPATH in
+this environment — it would clobber the TPU plugin injection, see
+CLAUDE.md). Writes RESULTS_torch_baseline.json.
 """
 
 import json
@@ -138,7 +140,6 @@ def bench_snsde_cpu():
 def main():
     t_torch = bench_torch()
     t_snsde = bench_snsde_cpu()
-    tpu_file = REPO / "BENCH_r01.json"
     out = {
         "shape": {"B": B, "L": L, "C": C, "H": H, "layers": N_LAYERS},
         "torch_reference_cpu_s_per_train_step": round(t_torch, 4),
