@@ -31,7 +31,6 @@ from ..models.neuralsde import NeuralSDEStream
 from ..nn.core import Module, combine, filter_value_and_grad, module, partition
 from ..nn.layers import Linear
 from ..ops.interp import hermite_cubic_coeffs
-from ..train.loop import iterate_batches
 from ..train.schedule import CosineAnnealingLR
 from .classification import parse_model_name
 
@@ -65,6 +64,7 @@ class InterpolationConfig:
     dec: str = "mtan_rnn"            # mtan_rnn | rnn3
     latent_dim: int = 16
     rec_hidden: int = 32
+    rec_num_hidden: int = 1          # reference --rec-num-hidden (1..4)
     gen_hidden: int = 50
     num_ref_points: int = 64
     k_iwae: int = 5
@@ -88,11 +88,12 @@ class _Recognition(Module):
     head: Linear
 
     @staticmethod
-    def create(key, enc_name, input_dim, hidden, latent_dim, num_ref):
+    def create(key, enc_name, input_dim, hidden, latent_dim, num_ref,
+               num_hidden: int = 1):
         io, no = parse_model_name(enc_name)
         k1, k2, k3 = jax.random.split(key, 3)
         field = DiffusionField.create(
-            k1, input_dim + 1, hidden, hidden, 1,
+            k1, input_dim + 1, hidden, hidden, num_hidden,
             input_option=io, noise_option=no,
         )
         sde = NeuralSDEStream.create(k2, field, input_dim + 1, hidden,
@@ -126,7 +127,8 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
     key = jax.random.PRNGKey(cfg.seed)
     k1, k2 = jax.random.split(key)
     rec = _Recognition.create(k1, cfg.enc, D, cfg.rec_hidden,
-                              cfg.latent_dim, Lref)
+                              cfg.latent_dim, Lref,
+                              num_hidden=cfg.rec_num_hidden)
     query = jnp.linspace(0.0, 1.0, Lref)
     if cfg.dec == "mtan_rnn":
         dec = MTANDecoder.create(k2, D, query, cfg.latent_dim,
@@ -164,9 +166,14 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
         formatted_m = formatted_m.at[bidx, idx].set(m_sub)
         return formatted_x, formatted_m
 
-    def elbo_loss(model, batch, key, kl_coef):
+    def elbo_loss(model, batch, key, kl_coef, smask=None):
+        """`smask` [B] masks padded wrap-around samples (device-resident
+        epochs pad the final batch to a fixed shape; padded duplicates must
+        not contribute to the loss — same policy as train/loop.py)."""
         x, m, tp = batch["x"], batch["m"], batch["tp"]
         Bc = x.shape[0]
+        if smask is None:
+            smask = jnp.ones((Bc,), x.dtype)
         ks, kc, ke = jax.random.split(key, 3)
         fx, fm = scatter_to_ref(x, m, tp, ks, cfg.sample_tp)
         # hermite coeffs over [t ‖ X] on the ref grid
@@ -197,29 +204,71 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
         )                                              # [B]
         iwae = jax.nn.logsumexp(logpx - kl_coef * kl[None], axis=0) - \
             math.log(cfg.k_iwae)
-        mse_obs = jnp.sum(
-            (jnp.mean(pred, axis=0) - x) ** 2 * m
-        ) / jnp.maximum(jnp.sum(m), 1.0)
-        return -jnp.mean(iwae), (jnp.mean(logpx), jnp.mean(kl), mse_obs)
+        nvalid = jnp.maximum(jnp.sum(smask), 1.0)
+        loss = -jnp.sum(iwae * smask) / nvalid
+        # masked-MSE pieces as (numerator, denominator) sums so the host can
+        # aggregate exactly across padded batches
+        obs_w = m * smask[:, None, None]
+        mse_num = jnp.sum((jnp.mean(pred, axis=0) - x) ** 2 * obs_w)
+        mse_den = jnp.sum(obs_w)
+        return loss, (jnp.sum(jnp.mean(logpx, axis=0) * smask) / nvalid,
+                      jnp.sum(kl * smask) / nvalid, mse_num, mse_den)
 
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     params, _ = partition(model)
     opt_state = tx.init(params)
     vg = filter_value_and_grad(elbo_loss, has_aux=True)
 
+    # Device-resident epochs (CLAUDE.md / sepsis-loop lesson): the dataset
+    # is uploaded ONCE and passed as a jit ARG; each iteration ships only an
+    # [nb, B] index grid + sample mask + per-batch keys, and all batch
+    # steps run inside one lax.scan — one host dispatch per iteration
+    # instead of one per batch (the remote runtime costs ~1-2 ms/dispatch).
     @jax.jit
-    def step(model, opt_state, batch, key, kl_coef, lr):
-        (loss, aux), grads = vg(model, batch, key, kl_coef)
-        params, rest = partition(model)
+    def epoch_scan(model, opt_state, dtrain, perm, smasks, keys, kl_coef,
+                   lr):
         opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return combine(optax.apply_updates(params, updates), rest), \
-            opt_state, loss, aux
+
+        def body(carry, xs):
+            m_, os_ = carry
+            idx, smask, k = xs
+            batch = {kk: vv[idx] for kk, vv in dtrain.items()}
+            (loss, aux), grads = vg(m_, batch, k, kl_coef, smask)
+            p, rest = partition(m_)
+            updates, os2 = tx.update(grads, os_, p)
+            return (combine(optax.apply_updates(p, updates), rest), os2), \
+                (loss, aux[0], aux[1])
+
+        (model, opt_state), (losses, logpxs, kls) = jax.lax.scan(
+            body, (model, opt_state), (perm, smasks, keys)
+        )
+        return model, opt_state, losses, logpxs, kls
 
     @jax.jit
-    def eval_mse(model, batch, key):
-        _, (_, _, mse) = elbo_loss(model, batch, key, 1.0)
-        return mse
+    def eval_scan(model, ddata, perm, smasks, keys):
+        def body(_, xs):
+            idx, smask, k = xs
+            batch = {kk: vv[idx] for kk, vv in ddata.items()}
+            _, (_, _, num, den) = elbo_loss(model, batch, k, 1.0, smask)
+            return None, (num, den)
+
+        _, (nums, dens) = jax.lax.scan(body, None, (perm, smasks, keys))
+        return jnp.sum(nums), jnp.sum(dens)
+
+    def _index_grid(n, bs, rng=None):
+        """Shuffled (or sequential) padded index grid + sample masks."""
+        idx = rng.permutation(n) if rng is not None else np.arange(n)
+        nb = max(1, -(-n // bs))
+        pad = nb * bs - n
+        smask = np.ones(nb * bs, np.float32)
+        if pad:
+            idx = np.concatenate([idx, np.resize(idx, pad)])
+            smask[-pad:] = 0.0
+        return (idx.reshape(nb, bs).astype(np.int32),
+                smask.reshape(nb, bs), nb)
+
+    device_train = {k: jnp.asarray(v) for k, v in train.items()}
+    device_test = {k: jnp.asarray(v) for k, v in test.items()}
 
     sched = CosineAnnealingLR(lr=cfg.lr, t_max=10, eta_min=1e-5)
     lr = cfg.lr
@@ -240,6 +289,8 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
             for _ in range(start_itr - 1):
                 lr = sched.step()
     base_key = key
+    import time as _time
+    t_start = _time.time()
     for itr in range(start_itr, cfg.niters + 1):
         # Per-iteration randomness is a pure function of (seed, itr) — batch
         # shuffling and JAX keys replay identically across resume, so a
@@ -250,17 +301,20 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
             kl_coef = 0.0 if itr < 10 else 1 - 0.99 ** (itr - 10)
         else:
             kl_coef = 1.0
-        tot, totn = 0.0, 0
-        for batch, nv in iterate_batches(train, cfg.batch_size, rng=rng):
-            key, sub = jax.random.split(key)
-            model, opt_state, loss, aux = step(
-                model, opt_state, batch, sub,
-                jnp.asarray(kl_coef, jnp.float32), jnp.asarray(lr)
-            )
-            tot += float(loss) * nv
-            totn += nv
+        perm, smasks, nb = _index_grid(n_tr, cfg.batch_size, rng)
+        keys = jax.random.split(key, nb)
+        model, opt_state, losses, logpxs, kls = epoch_scan(
+            model, opt_state, device_train, perm, smasks, keys,
+            jnp.asarray(kl_coef, jnp.float32), jnp.asarray(lr)
+        )
+        nvs = smasks.sum(axis=1)
+        tot = float((np.asarray(losses) * nvs).sum())
+        totn = float(nvs.sum())
         lr = sched.step()
         history.append({"iter": itr, "elbo": -tot / totn,
+                        "logpx": float((np.asarray(logpxs) * nvs).sum()
+                                       / totn),
+                        "kl": float((np.asarray(kls) * nvs).sum() / totn),
                         "kl_coef": kl_coef})
         if cfg.save_dir and itr % 20 == 0:
             from ..train.checkpoint import save_checkpoint
@@ -269,12 +323,16 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
                             opt_state=opt_state)
         if cfg.verbose and itr % 10 == 0:
             print(f"iter {itr}: avg loss {tot/totn:.4f} "
-                  f"kl_coef {kl_coef:.3f}", flush=True)
+                  f"kl_coef {kl_coef:.3f} "
+                  f"[{_time.time()-t_start:.0f}s]", flush=True)
 
-    # final masked-MSE on test
-    tot, totn = 0.0, 0
-    for i, (batch, nv) in enumerate(iterate_batches(test, cfg.batch_size)):
-        mse = eval_mse(model, batch, jax.random.fold_in(key, i))
-        tot += float(mse) * nv
-        totn += nv
-    return {"model": model, "history": history, "test_mse": tot / totn}
+    # final masked-MSE on test (device-resident scanned eval)
+    n_te = next(iter(test.values())).shape[0]
+    perm, smasks, nb = _index_grid(n_te, cfg.batch_size)
+    keys = jax.random.split(jax.random.fold_in(base_key, cfg.niters + 1),
+                            nb)
+    num, den = eval_scan(model, device_test, perm, smasks, keys)
+    wall = _time.time() - t_start
+    return {"model": model, "history": history,
+            "test_mse": float(num) / max(float(den), 1.0),
+            "wall_time": wall}

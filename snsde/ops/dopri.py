@@ -166,4 +166,11 @@ def odeint_dopri5(
     state = (t0, y0, f0, h0, out0, jnp.asarray(1, jnp.int32),
              jnp.asarray(0, jnp.int32))
     _, _, _, _, out, next_out, _ = jax.lax.while_loop(cond, body, state)
-    return out
+    from ._guards import nondiff_guard
+
+    return nondiff_guard(
+        out, "odeint_dopri5",
+        "For training losses use a fixed-grid method (euler/rk4/...; all "
+        "are differentiable scans), or sdeint_adaptive(..., "
+        "differentiable=True) for adaptive SDE solves.",
+    )

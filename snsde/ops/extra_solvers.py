@@ -102,7 +102,13 @@ def _adaptive_embedded(f, y0, ts, stages, b_high, b_low, c, order,
     state = (jnp.asarray(ts_np[0], dtype), y0, h0, out0,
              jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
     _, _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
-    return out
+    from ._guards import nondiff_guard
+
+    return nondiff_guard(
+        out, "adaptive embedded RK (rk12/rk23)",
+        "For training losses use a fixed-grid method (euler/rk4/...; all "
+        "are differentiable scans).",
+    )
 
 
 def odeint_rk23(f, y0, ts, rtol=1e-4, atol=1e-6, max_steps=4096):

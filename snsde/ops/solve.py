@@ -585,4 +585,14 @@ def sdeint_adaptive(
     (_, _), ys_tail = jax.lax.scan(
         solve_interval, (y0, jnp.asarray(h0, dtype)), pairs
     )
-    return jnp.concatenate([y0[None], ys_tail], axis=0)
+    ys = jnp.concatenate([y0[None], ys_tail], axis=0)
+    if not differentiable:
+        from ._guards import nondiff_guard
+
+        ys = nondiff_guard(
+            ys, "sdeint_adaptive(differentiable=False)",
+            "Pass differentiable=True (masked-scan mode, identical "
+            "results, choose a modest max_steps) or use a fixed-grid "
+            "method.",
+        )
+    return ys

@@ -182,8 +182,11 @@ def test_vmap_falls_back_to_scan(setting):
 
     # compare both INSIDE vmap: with the default RBG PRNG, vmapped draws
     # legitimately differ from sequential per-key draws, so the guard is
-    # asserted as vmapped-fused == vmapped-scan (identical key handling)
-    ys_v = jax.vmap(solve_one)(stacked, keys)
+    # asserted as vmapped-fused == vmapped-scan (identical key handling).
+    # The fallback must NOT be silent (VERDICT r2 weak #1): losing the
+    # ~5x fused-kernel win under vmap warns, pointing at kernels.multi.
+    with pytest.warns(UserWarning, match="falling back"):
+        ys_v = jax.vmap(solve_one)(stacked, keys)
     ys_s = jax.vmap(solve_scan)(stacked, keys)
     np.testing.assert_allclose(np.asarray(ys_v), np.asarray(ys_s),
                                atol=1e-6)
