@@ -68,7 +68,11 @@ def mfcc(audio: np.ndarray, n_mfcc=N_MFCC, n_fft=N_FFT, hop=HOP):
     pad = n_fft // 2
     x = np.pad(audio.astype(np.float32), (pad, pad), mode="reflect")
     n_frames = 1 + (len(x) - n_fft) // hop
-    window = np.hanning(n_fft).astype(np.float32)
+    # PERIODIC Hann (torch.hann_window default; np.hanning is the
+    # symmetric variant — off by one bin, caught by the torch-frozen
+    # goldens in tests/goldens/mfcc.npz)
+    window = (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft)
+                                  / n_fft))).astype(np.float32)
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = x[idx] * window
     spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
