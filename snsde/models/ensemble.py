@@ -67,6 +67,26 @@ class SeedEnsemble(Module):
     def n_members(self) -> int:
         return len(self.fields)
 
+    # --- member subtree plumbing for fit_classifier_ensemble ---
+    @staticmethod
+    def member_subtree(tree, k):
+        return tree.replace(fields=(tree.fields[k],),
+                            initial_networks=(tree.initial_networks[k],),
+                            readouts=(tree.readouts[k],))
+
+    @staticmethod
+    def replace_member(tree, k, sub):
+        fs, ins, rs = (list(tree.fields), list(tree.initial_networks),
+                       list(tree.readouts))
+        fs[k], ins[k], rs[k] = (sub.fields[0], sub.initial_networks[0],
+                                sub.readouts[0])
+        return tree.replace(fields=tuple(fs), initial_networks=tuple(ins),
+                            readouts=tuple(rs))
+
+    @staticmethod
+    def member_reg_subtree(member):
+        return member.fields[0]
+
     def solve(self, times, coeffs, *, key, dt=None):
         """Packed solve. Returns zs [K, L, B, H]."""
         path = CubicPath(coeffs, times)
@@ -108,3 +128,117 @@ class SeedEnsemble(Module):
             preds.append(p)
             new_reads.append(new_head)
         return jnp.stack(preds), self.replace(readouts=tuple(new_reads))
+
+
+def packed_solve(fields, path, times, y0s, keys, *, method="euler",
+                 dt=None):
+    """Shared K-member solve dispatch: one lane-packed fused kernel on TPU
+    (euler -> fused_em, srk -> fused_srk), per-member scan solves
+    otherwise (identical key handling either way). Returns [K, L, B, H]."""
+    dt = resolve_dt(times) if dt is None else dt
+    use_packed = (
+        jax.default_backend() == "tpu"
+        and method in ("euler", "srk")
+        and os.environ.get("SNSDE_NO_FUSED", "0") != "1"
+    )
+    if use_packed:
+        from ..kernels.fused_em import is_batched
+        from ..kernels.multi import (fused_em_solve_packed,
+                                     fused_srk_solve_packed)
+
+        if not is_batched(fields, y0s, keys[0]):
+            packed_fn = (fused_em_solve_packed if method == "euler"
+                         else fused_srk_solve_packed)
+            return packed_fn(list(fields), path, times, y0s, keys, dt=dt)
+    zs = [
+        solve_dispatch(f.bind(path), path, times, y0s[i], key=keys[i],
+                       dt=dt, method=method)
+        for i, f in enumerate(fields)
+    ]
+    return jnp.stack(zs)
+
+
+@module
+class IVMember(Module):
+    """One seed replica of the sepsis InitialValue model: static-feature
+    encoder (sepsis-sde.py:15-28) + DiffusionField + terminal readout."""
+
+    linear1: Linear
+    linear2: Linear
+    field: Module
+    readout: "Module"
+
+
+@module
+class InitialValueSeedEnsemble(Module):
+    """K seed replicas of the sepsis flagship model trained through ONE
+    lane-packed solve (the reference trains each of its 5 repeats,
+    sepsis-sde.py:70-83, in its own process on the SAME data — repeats
+    differ only in init + training noise, which maps exactly onto packed
+    members with per-member keys).
+
+    forward(times, coeffs, static, final_index) -> logits [K, B, out].
+    """
+
+    members: Tuple[IVMember, ...]
+    method: str = static_field(default="euler")
+
+    @staticmethod
+    def create(key, make_field, static_dim: int, hidden_channels: int,
+               output_channels: int, n_members: int,
+               method: str = "euler") -> "InitialValueSeedEnsemble":
+        """make_field(key) -> DiffusionField (same config per call)."""
+        keys = jax.random.split(key, n_members)
+        members = []
+        for km in keys:
+            k1, k2, k3, k4 = jax.random.split(km, 4)
+            members.append(IVMember(
+                linear1=Linear.create(k1, static_dim, 256),
+                linear2=Linear.create(k2, 256, hidden_channels),
+                field=make_field(k3),
+                readout=ReadoutHead.create(k4, hidden_channels,
+                                           output_channels),
+            ))
+        return InitialValueSeedEnsemble(members=tuple(members),
+                                        method=method)
+
+    @property
+    def n_members(self) -> int:
+        return len(self.members)
+
+    # --- member subtree plumbing for fit_classifier_ensemble ---
+    @staticmethod
+    def member_subtree(tree, k):
+        return tree.members[k]
+
+    @staticmethod
+    def replace_member(tree, k, sub):
+        ms = list(tree.members)
+        ms[k] = sub
+        return tree.replace(members=tuple(ms))
+
+    @staticmethod
+    def member_reg_subtree(member):
+        return member.field
+
+    def __call__(self, times, coeffs, static, final_index, *, key,
+                 train=False, dt=None):
+        ksolve, kdrop = jax.random.split(key)
+        y0s = jnp.stack([
+            m.linear2(jax.nn.relu(m.linear1(static))) for m in self.members
+        ])                                            # [K, B, H]
+        path = CubicPath(coeffs, times)
+        keys = list(jax.random.split(ksolve, self.n_members))
+        zs = packed_solve([m.field for m in self.members], path, times,
+                          y0s, keys, method=self.method, dt=dt)
+        idx = jnp.asarray(final_index)
+        preds, new_members = [], []
+        for i, m in enumerate(self.members):
+            z = jnp.take_along_axis(
+                jnp.moveaxis(zs[i], 0, 1), idx[:, None, None], axis=1
+            )[:, 0]                                   # [B, H]
+            p, new_head = m.readout(z, key=jax.random.fold_in(kdrop, i),
+                                    train=train)
+            preds.append(p)
+            new_members.append(m.replace(readout=new_head))
+        return jnp.stack(preds), self.replace(members=tuple(new_members))

@@ -1,0 +1,122 @@
+"""Lane-packed seed-ensemble training (VERDICT r2 item 3).
+
+The reference's dominant workloads repeat the same config over seeds
+(sepsis-sde.py:70-83 runs the full grid 5 times; model_run.py trains 5
+seeds per cell). fit_classifier_ensemble trains K replicas through one
+packed solve with per-member policy; these tests pin the member-
+independence contract and the harness wiring (CPU: packed_solve falls
+back to per-member scan solves with identical key handling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _tiny_ensemble(K=2, hidden=8, static_dim=5, channels=7):
+    from snsde.fields import DiffusionField
+    from snsde.models.ensemble import InitialValueSeedEnsemble
+
+    def make_field(k):
+        return DiffusionField.create(k, channels, hidden, hidden, 1,
+                                     input_option=4, noise_option=17)
+
+    return InitialValueSeedEnsemble.create(
+        jax.random.PRNGKey(0), make_field, static_dim, hidden, 1, K,
+    )
+
+
+def test_member_gradients_are_independent():
+    """Summed member losses over disjoint params: member 0's gradients
+    must not change when member 1's params are perturbed."""
+    from snsde.nn.core import filter_value_and_grad
+    from snsde.ops.interp import hermite_cubic_coeffs
+
+    K, B, L, C = 2, 6, 9, 7
+    model = _tiny_ensemble(K=K, channels=C)
+    times = np.linspace(0, 1, L).astype(np.float32)
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), vals)
+    static = jnp.asarray(rng.normal(size=(B, 5)).astype(np.float32))
+    fidx = jnp.full((B,), L - 1, jnp.int32)
+    y = jnp.asarray(rng.integers(0, 2, B).astype(np.float32))
+
+    def loss(m):
+        logits, _ = m(times, coeffs, static, fidx,
+                      key=jax.random.PRNGKey(3), train=True)
+        per = jnp.mean(
+            jnp.maximum(logits[..., 0], 0) - logits[..., 0] * y[None]
+            + jnp.log1p(jnp.exp(-jnp.abs(logits[..., 0]))), axis=1)
+        return jnp.sum(per)
+
+    vg = filter_value_and_grad(loss)
+    _, g_base = vg(model)
+
+    # perturb member 1's field weights
+    m1 = model.members[1]
+    f1 = m1.field
+    f1p = f1.replace(linear_out=f1.linear_out.replace(
+        weight=f1.linear_out.weight + 0.37))
+    model_p = model.replace(members=(
+        model.members[0], m1.replace(field=f1p)))
+    _, g_pert = vg(model_p)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_base.members[0]),
+        jax.tree_util.tree_leaves(g_pert.members[0]),
+    ):
+        if a is not None:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+    # and member 1's gradients DID change
+    changed = any(
+        a is not None and not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_base.members[1]),
+            jax.tree_util.tree_leaves(g_pert.members[1]),
+        )
+    )
+    assert changed
+
+
+@pytest.mark.slow
+def test_run_sepsis_ensemble_smoke():
+    """End-to-end packed-repeats sepsis run: per-member results, members
+    genuinely differ (independent inits + noise), metrics finite."""
+    from snsde.harness.classification import (HarnessConfig,
+                                              run_sepsis_ensemble)
+
+    cfg = HarnessConfig(model_name="neurallnsde", hidden_channels=8,
+                        hidden_hidden_channels=8, num_hidden_layers=1,
+                        batch_size=32, use_intensity=False)
+    results = run_sepsis_ensemble(cfg, repeats=2, n=96, max_epochs=3)
+    assert len(results) == 2
+    accs = []
+    for res in results:
+        assert np.isfinite(res.test_metrics.loss)
+        assert 0.0 <= res.test_metrics.accuracy <= 1.0
+        assert len(res.history) == 3
+        accs.append(res.val_metrics.loss)
+    # members restored from their own best snapshots: the two replicas'
+    # final params must differ (fresh inits)
+    m = results[0].model
+    w0 = np.asarray(m.members[0].field.linear_out.weight)
+    w1 = np.asarray(m.members[1].field.linear_out.weight)
+    assert not np.allclose(w0, w1)
+
+
+@pytest.mark.slow
+def test_ensemble_history_tracks_per_member_lr():
+    """Per-member ReduceLROnPlateau: histories are per member and carry
+    member-specific learning rates."""
+    from snsde.harness.classification import (HarnessConfig,
+                                              run_sepsis_ensemble)
+
+    cfg = HarnessConfig(model_name="neurallsde", hidden_channels=8,
+                        hidden_hidden_channels=8, num_hidden_layers=1,
+                        batch_size=32, use_intensity=False)
+    results = run_sepsis_ensemble(cfg, repeats=2, n=64, max_epochs=2)
+    for res in results:
+        for h in res.history:
+            assert "lr" in h and h["lr"] > 0
