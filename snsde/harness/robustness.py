@@ -17,9 +17,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,8 @@ import optax
 
 from ..data.common import inject_missingness, stratified_split
 from ..data.synthetic import synthetic_uea
-from ..nn.core import Module, combine, filter_value_and_grad, module, partition
+from ..nn.core import (Module, combine, filter_value_and_grad, module,
+                       partition, static_field)
 from ..nn.layers import BatchNorm, Linear
 from ..ops.interp import hermite_cubic_coeffs, natural_cubic_coeffs
 from ..registry import SeqLayer, make_seq_layer
@@ -37,8 +39,9 @@ from ..train.loop import (iterate_batches, readout_grad_hook,
 from ..train.metrics import classification_metrics
 from ..train.schedule import StepLR as StepLRSched
 
-__all__ = ["ISTSClassifier", "preprocess_ists", "run_robustness_sweep",
-           "make_fixed_splits", "train_ists_model"]
+__all__ = ["ISTSClassifier", "ISTSSeedEnsembleSDE", "preprocess_ists",
+           "run_robustness_sweep", "make_fixed_splits", "train_ists_model",
+           "train_ists_ensemble"]
 
 
 def preprocess_ists(X: np.ndarray, missing_rate: float = 0.0,
@@ -235,16 +238,44 @@ def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
     return model, evaluate(model, split_data["test"], k1)
 
 
+_SDE_GRID_RE_SWEEP = re.compile(r"^neuralsde_\d+_\d+$")
+
+
 def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                          data_fn=synthetic_uea, dataset_name: str =
-                         "synthetic_uea", verbose: bool = True) -> List[Dict]:
+                         "synthetic_uea", verbose: bool = True,
+                         pack_seeds: bool = False) -> List[Dict]:
     """The model_run.py loop: dataset × missing_rate × model × seed with
-    skip-if-exists resume and JSON result records."""
+    skip-if-exists resume and JSON result records.
+
+    The seed drives the split AND the missingness draw, matching the
+    reference (model_run.py:155 passes SEED into preprocess).
+
+    pack_seeds=True trains a cell's SDE-grid seeds concurrently through
+    one lane-packed fused solve with per-member control paths
+    (train_ists_ensemble; non-SDE models keep the solo loop)."""
     X, y, _ = data_fn(n=n)
     results = []
+    data_cache: Dict = {}
+
+    def _data(rate, seed):
+        k = (rate, seed)
+        if k not in data_cache:
+            data_cache[k] = preprocess_ists(X, missing_rate=rate,
+                                            seed=seed)
+        return data_cache[k]
+
+    def _write(rec, out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(rec, f)
+        results.append(rec)
+        if verbose:
+            print(rec, flush=True)
+
     for rate in cfg.missing_rates:
-        data = preprocess_ists(X, missing_rate=rate)
         for model_name in cfg.models:
+            pending = []
             for seed in cfg.seeds:
                 out_path = os.path.join(
                     cfg.out_dir, dataset_name, str(int(rate * 100)),
@@ -254,10 +285,55 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                     with open(out_path) as f:
                         results.append(json.load(f))
                     continue
+                pending.append((seed, out_path))
+            if not pending:
+                continue
+
+            if (pack_seeds and len(pending) > 1
+                    and _SDE_GRID_RE_SWEEP.match(model_name)):
+                seeds = [s for s, _ in pending]
+                t0 = time.time()
+                try:
+                    datas = [_data(rate, s) for s in seeds]
+                    splits_list = [stratified_split(y, seed=s)
+                                   for s in seeds]
+                    model = ISTSSeedEnsembleSDE.create(
+                        jax.random.PRNGKey(seeds[0]), model_name,
+                        X.shape[-1], X.shape[1], cfg.hidden_dim,
+                        int(y.max()) + 1, len(seeds),
+                    )
+                    model, test_ms = train_ists_ensemble(
+                        jax.random.PRNGKey(seeds[0]), model, datas, y,
+                        splits_list, lr=cfg.lr,
+                        batch_size=cfg.batch_size,
+                        max_epochs=cfg.max_epochs, patience=cfg.patience,
+                    )
+                    wall = time.time() - t0
+                    for (seed, out_path), tm in zip(pending, test_ms):
+                        _write({
+                            "dataset": dataset_name, "missing_rate": rate,
+                            "model": model_name, "seed": seed,
+                            "accuracy": float(tm.accuracy),
+                            "f1_weighted": float(tm.f1_weighted),
+                            "wall_time": wall / len(seeds),
+                            "packed": len(seeds),
+                        }, out_path)
+                    continue
+                except Exception as e:  # blanket skip, as model_run.py
+                    for seed, out_path in pending:
+                        _write({
+                            "dataset": dataset_name, "missing_rate": rate,
+                            "model": model_name, "seed": seed,
+                            "error": repr(e),
+                        }, out_path)
+                    continue
+
+            for seed, out_path in pending:
                 key = jax.random.PRNGKey(seed)
                 splits = stratified_split(y, seed=seed)
                 t0 = time.time()
                 try:
+                    data = _data(rate, seed)
                     model = ISTSClassifier.create(
                         key, model_name, X.shape[-1], X.shape[1],
                         cfg.hidden_dim, int(y.max()) + 1,
@@ -283,10 +359,264 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                         "model": model_name, "seed": seed,
                         "error": repr(e),
                     }
-                os.makedirs(os.path.dirname(out_path), exist_ok=True)
-                with open(out_path, "w") as f:
-                    json.dump(rec, f)
-                results.append(rec)
-                if verbose:
-                    print(rec, flush=True)
+                _write(rec, out_path)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed K-seed sweep training (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+@module
+class ISTSSeedEnsembleSDE(Module):
+    """K seeds of one `neuralsde_{i}_{j}` ISTS classifier solved through
+    ONE lane-packed fused kernel with PER-MEMBER control paths.
+
+    The reference sweep trains 5 seeds per (dataset, rate, model) cell in
+    separate processes (model_run.py:294-305), where the seed changes the
+    split AND the missingness pattern (preprocess(..., SEED=SEED),
+    _utils.py:115-120) — so members see genuinely different data. The
+    packed kernels take per-member paths (kernels/multi.py `paths=`); the
+    per-member heads/BN/readouts run as ordinary per-member ops.
+
+    forward(seqs [K,B,3,L,D], coeffs [K,B,L-1,4C]) -> logits [K,B,C].
+    """
+
+    members: Tuple[ISTSClassifier, ...]
+    method: str = static_field(default="euler")
+
+    @staticmethod
+    def create(key, model_name: str, input_dim: int, seq_len: int,
+               hidden_dim: int, num_classes: int, n_members: int,
+               hidden_hidden_dim=None, num_layers: int = 1,
+               num_hidden_layers: int = 1, method=None):
+        keys = jax.random.split(key, n_members)
+        members = tuple(
+            ISTSClassifier.create(k, model_name, input_dim, seq_len,
+                                  hidden_dim, num_classes,
+                                  hidden_hidden_dim, num_layers,
+                                  num_hidden_layers, method=method)
+            for k in keys
+        )
+        return ISTSSeedEnsembleSDE(members=members,
+                                   method=method or "euler")
+
+    @property
+    def n_members(self) -> int:
+        return len(self.members)
+
+    @staticmethod
+    def member_subtree(tree, k):
+        return tree.members[k]
+
+    @staticmethod
+    def replace_member(tree, k, sub):
+        ms = list(tree.members)
+        ms[k] = sub
+        return tree.replace(members=tuple(ms))
+
+    def __call__(self, seqs, coeffs, *, key, train: bool = False):
+        from ..models.ensemble import packed_solve
+        from ..ops.interp import CubicPath
+
+        K = self.n_members
+        L = seqs.shape[3]
+        times = np.linspace(0.0, 1.0, L, dtype=np.float32)
+        paths = [CubicPath(coeffs[k], times) for k in range(K)]
+        streams = [m.layer.inner for m in self.members]   # NeuralSDEStream
+        t0 = jnp.asarray(times)[0]
+        y0s = jnp.stack([
+            s.initial_network(paths[k].evaluate(t0))
+            for k, s in enumerate(streams)
+        ])                                                # [K, B, H]
+        keys = list(jax.random.split(key, K + 1))
+        zs = packed_solve([s.func for s in streams], paths[0], times, y0s,
+                          keys[:K], method=self.method, paths=paths)
+        kdrop = keys[K]
+        logits_all, new_members = [], []
+        for k, m in enumerate(self.members):
+            z = jnp.moveaxis(zs[k], 0, 1)                 # [B, L, H]
+            out = streams[k].linear(z)[:, -1, :]          # last step
+            h, norm = m.norm(out, train=train)
+            h = jax.nn.relu(m.fc1(h))
+            logits = jnp.nan_to_num(m.fc2(h))             # _model.py:80
+            logits_all.append(logits)
+            new_members.append(m.replace(norm=norm))
+        return jnp.stack(logits_all), self.replace(
+            members=tuple(new_members))
+
+
+def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
+                        splits_list, lr: float = 1e-3,
+                        batch_size: int = 64, max_epochs: int = 30,
+                        patience: int = 10, verbose: bool = False):
+    """Train K sweep seeds concurrently through the packed solve.
+
+    datas: list of K preprocessed dicts (per-seed missingness);
+    splits_list: K (train, val, test) index triples (per-seed splits).
+    Policy per member, faithful to train_ists_model: StepLR(10, 0.5)
+    (deterministic — shared across members), patience-10 early stop on
+    val accuracy with best-model restore, 100x fc2 grad hook, clip 10.
+    Returns (model, [per-member test metrics])."""
+    K = model.n_members
+    cls = type(model)
+    num_classes = int(y.max()) + 1
+    yi = y.astype(np.int64)
+
+    seqs = jnp.asarray(np.stack([d["seq"] for d in datas]))
+    coeffs = jnp.asarray(np.stack([d["coeffs"] for d in datas]))
+    ylab = jnp.asarray(yi)
+
+    n_tr = len(splits_list[0][0])
+    for sp in splits_list:
+        assert len(sp[0]) == n_tr, "per-seed stratified splits equal-size"
+    nb = max(1, -(-n_tr // batch_size))
+
+    def loss_fn(m, bidx, bmask, key, train):
+        # bidx [K, B] per-member sample indices into the full arrays
+        bseq = jnp.stack([seqs[k][bidx[k]] for k in range(K)])
+        bco = jnp.stack([coeffs[k][bidx[k]] for k in range(K)])
+        logits, new_m = m(bseq, bco, key=key, train=train)   # [K, B, C]
+        by = ylab[bidx]                                      # [K, B]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per = -jnp.take_along_axis(
+            logp, by[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        mask = bmask.astype(per.dtype)
+        mlosses = jnp.sum(per * mask, axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1), 1.0)                      # [K]
+        return jnp.sum(mlosses), (mlosses, logits, new_m)
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(learning_rate),
+        )
+    )(learning_rate=lr)
+    params0, _ = partition(model)
+    opt_states = tuple(tx.init(cls.member_subtree(params0, k))
+                       for k in range(K))
+    vg = filter_value_and_grad(loss_fn, has_aux=True)
+    grad_hook = readout_grad_hook("fc2")
+
+    @jax.jit
+    def epoch_step(m, opt_states, perm, masks, keys, lr_val, active):
+        opt_states = list(opt_states)
+        for k in range(K):
+            opt_states[k].hyperparams["learning_rate"] = lr_val
+        opt_states = tuple(opt_states)
+
+        def body(carry, xs):
+            mm, oss = carry
+            bidx, bmask, kk = xs
+            (_, (mlosses, _, new_m)), grads = vg(mm, bidx, bmask, kk,
+                                                 True)
+            p, rest = partition(new_m)
+            new_oss = []
+            for k in range(K):
+                pk = cls.member_subtree(p, k)
+                gk = grad_hook(cls.member_subtree(grads, k))
+                upd, osk = tx.update(gk, oss[k], pk)
+                upd = jax.tree_util.tree_map(lambda u: u * active[k], upd)
+                p = cls.replace_member(p, k,
+                                       optax.apply_updates(pk, upd))
+                new_oss.append(osk)
+            return (combine(p, rest), tuple(new_oss)), mlosses
+
+        (m, opt_states), mlosses = jax.lax.scan(
+            body, (m, opt_states), (perm, masks, keys))
+        return m, opt_states, mlosses
+
+    @jax.jit
+    def eval_scan(m, perm, masks, keys):
+        def body(_, xs):
+            bidx, bmask, kk = xs
+            _, (mlosses, logits, _) = loss_fn(m, bidx, bmask, kk, False)
+            return None, (logits, mlosses)
+
+        _, (logits, mlosses) = jax.lax.scan(body, None,
+                                            (perm, masks, keys))
+        return logits, mlosses
+
+    def _grid(indices_list, rngs=None):
+        """Per-member padded index grids: [K, nb, B] + [nb, B] mask (all
+        members share sizes)."""
+        n = len(indices_list[0])
+        nb_ = max(1, -(-n // batch_size))
+        pad = nb_ * batch_size - n
+        mask = np.ones(nb_ * batch_size, np.float32)
+        if pad:
+            mask[-pad:] = 0.0
+        perms = []
+        for k, ind in enumerate(indices_list):
+            ix = np.asarray(ind)
+            if rngs is not None:
+                ix = rngs[k].permutation(ix)
+            if pad:
+                ix = np.concatenate([ix, np.resize(ix, pad)])
+            perms.append(ix.reshape(nb_, batch_size))
+        # [nb, K, B] so scan iterates batches; mask shared
+        perm = np.stack(perms, axis=1).astype(np.int32)
+        masks = np.broadcast_to(mask.reshape(nb_, 1, batch_size),
+                                (nb_, K, batch_size)).copy()
+        return perm, masks, nb_
+
+    def evaluate(m, which, key):
+        perm, masks, nb_ = _grid([sp[which] for sp in splits_list])
+        keys = jnp.stack([jax.random.fold_in(key, i) for i in range(nb_)])
+        logits, mlosses = eval_scan(m, jnp.asarray(perm),
+                                    jnp.asarray(masks), keys)
+        logits = np.asarray(logits)       # [nb, K, B, C]
+        mlosses = np.asarray(mlosses)     # [nb, K]
+        out = []
+        valid = masks[:, 0, :].reshape(-1) > 0
+        n_valids = masks[:, 0, :].sum(axis=1)
+        for k in range(K):
+            idx_flat = perm[:, k, :].reshape(-1)[valid]
+            lo = logits[:, k].reshape(-1, num_classes)[valid]
+            loss = float((mlosses[:, k] * n_valids).sum() / n_valids.sum())
+            out.append(classification_metrics(yi[idx_flat], lo, loss,
+                                              num_classes))
+        return out
+
+    sched = StepLRSched(lr=lr, step_size=10, gamma=0.5)
+    rngs = [np.random.default_rng(k) for k in range(K)]
+    best_val = np.full(K, -np.inf)
+    best_params = [cls.member_subtree(params0, k) for k in range(K)]
+    stale = np.zeros(K, int)
+    active = np.ones(K, np.float32)
+    terminated = np.zeros(K, bool)
+    lr_val = lr
+    for epoch in range(max_epochs):
+        perm, masks, _ = _grid([sp[0] for sp in splits_list], rngs=rngs)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, nb)
+        model, opt_states, _ = epoch_step(
+            model, opt_states, jnp.asarray(perm), jnp.asarray(masks),
+            keys, jnp.asarray(lr_val), jnp.asarray(active))
+        lr_val = sched.step()
+        key, k1 = jax.random.split(key)
+        val_ms = evaluate(model, 1, k1)
+        params_now, _ = partition(model)
+        for k in range(K):
+            if terminated[k]:
+                continue
+            if val_ms[k].accuracy > best_val[k]:
+                best_val[k] = val_ms[k].accuracy
+                best_params[k] = cls.member_subtree(params_now, k)
+                stale[k] = 0
+            else:
+                stale[k] += 1
+                if stale[k] >= patience:
+                    terminated[k] = True
+                    active[k] = 0.0
+        if verbose:
+            accs = " ".join(f"{v.accuracy:.3f}" for v in val_ms)
+            print(f"  epoch {epoch}: val acc [{accs}]", flush=True)
+        if terminated.all():
+            break
+    params_now, rest = partition(model)
+    for k in range(K):
+        params_now = cls.replace_member(params_now, k, best_params[k])
+    model = combine(params_now, rest)
+    key, k1 = jax.random.split(key)
+    return model, evaluate(model, 2, k1)

@@ -858,7 +858,8 @@ def is_batched(*trees) -> bool:
 
 
 def fused_em_solve(field, path, times, y0, key, dt=None,
-                   stream_dtype=None, dW_override=None):
+                   stream_dtype=None, dW_override=None,
+                   xh_override=None):
     """Drop-in EM solve for a supported DiffusionField. Returns
     ys [T, B, H] on the output times (torchsde layout).
 
@@ -961,9 +962,15 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
 
     # --- drift precompute ---
     if cfg["drift"] in ("xt", "emb"):
-        Xg = path.evaluate_grid(grid[:-1])               # [M, B, C]
-        Xh = _pdot(Xg, field.initial_network.weight) \
-            + field.initial_network.bias
+        if xh_override is not None:
+            # caller-supplied embedded control stream [M, B, H_total]
+            # (lane-packed multi-model solves with PER-MEMBER control
+            # paths precompute each member's Xh and concatenate)
+            Xh = xh_override
+        else:
+            Xg = path.evaluate_grid(grid[:-1])           # [M, B, C]
+            Xh = _pdot(Xg, field.initial_network.weight) \
+                + field.initial_network.bias
         streams["xh"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
     if cfg["drift"] != "xt":
         w_in = field.linear_in.weight                    # [(H+2)|H, HH]

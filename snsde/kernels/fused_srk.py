@@ -581,7 +581,8 @@ def supports_fused_srk(field) -> bool:
 
 
 def fused_srk_solve(field, path, times, y0, key, dt=None,
-                    stream_dtype=None, brownian_override=None):
+                    stream_dtype=None, brownian_override=None,
+                    xh_override=None):
     """Drop-in SRIW1 solve for a supported DiffusionField. Returns
     ys [T, B, H] on the output times. Key handling matches
     ops.solve.sdeint (kw -> dW, ku -> Lévy area) so the same seed draws
@@ -660,9 +661,14 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     # --- drift precompute per stage time ---
     if cfg["drift"] in ("xt", "emb"):
         for i, tv in enumerate(td):
-            Xg = path.evaluate_grid(tv)                  # [M, B, C]
-            Xh = (_pdot(Xg, field.initial_network.weight)
-                  + field.initial_network.bias)
+            if xh_override is not None:
+                # per-stage caller-supplied embedded control streams
+                # [M, B, H_total] (lane packing with per-member paths)
+                Xh = xh_override[i]
+            else:
+                Xg = path.evaluate_grid(tv)              # [M, B, C]
+                Xh = (_pdot(Xg, field.initial_network.weight)
+                      + field.initial_network.bias)
             streams[f"xh{i}"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
     if cfg["drift"] != "xt":
         w_in = field.linear_in.weight

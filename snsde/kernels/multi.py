@@ -183,14 +183,34 @@ def pack_fields(fields):
     )
 
 
+def _member_xh(fields, paths, tv):
+    """Per-member embedded control at concrete times tv: member i's
+    Xh_i = paths[i].evaluate_grid(tv) @ W_init_i + b_i, concatenated along
+    the lane axis -> [M, B, K*H]. With identical paths this equals the
+    shared-path packed precompute exactly (lin_cat_cols concatenates
+    output columns of a shared input)."""
+    from .fused_em import _pdot
+
+    xhs = []
+    for f, p in zip(fields, paths):
+        Xg = p.evaluate_grid(tv)
+        xhs.append(_pdot(Xg, f.initial_network.weight)
+                   + f.initial_network.bias)
+    return jnp.concatenate(xhs, axis=-1)
+
+
 def fused_em_solve_packed(fields, path, times, y0s, keys, dt=None,
-                          stream_dtype=None):
+                          stream_dtype=None, paths=None):
     """Solve K identically-configured models in one fused EM kernel.
 
     fields: list of K DiffusionFields (unbound).
     y0s:    [K, B, H] per-model initial states.
     keys:   [K] per-model PRNG keys; packed model i draws the SAME dW as
             fused_em_solve(fields[i], ..., keys[i]) would.
+    paths:  optional list of K control paths — one PER MEMBER (the
+            robustness sweep's seeds each carry their own missingness
+            pattern, so members see different data); `path` is then only
+            used for io=0-family shared plumbing and may be paths[0].
 
     Returns ys [K, T, B, H]."""
     from ..models.neuralsde import resolve_dt
@@ -212,19 +232,27 @@ def fused_em_solve_packed(fields, path, times, y0s, keys, dt=None,
         dWs.append(brownian_increments(kw, grid, (B, H), jnp.float32))
     dW = jnp.concatenate(dWs, axis=-1)           # [M, B, K*H]
 
+    xh = None
+    if paths is not None and fields[0].input_option in (0, 2, 4, 6):
+        if len(paths) != K:
+            raise ValueError("need one control path per field")
+        xh = _member_xh(fields, paths, grid[:-1])
+
     y0 = jnp.concatenate([y0s[i] for i in range(K)], axis=-1)  # [B, K*H]
     ys = fused_em_solve(packed, path, times, y0, keys[0], dt=dt,
-                        stream_dtype=stream_dtype, dW_override=dW)
+                        stream_dtype=stream_dtype, dW_override=dW,
+                        xh_override=xh)
     T = ys.shape[0]
     return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)
 
 
 def fused_srk_solve_packed(fields, path, times, y0s, keys, dt=None,
-                           stream_dtype=None):
+                           stream_dtype=None, paths=None):
     """Lane-packed SRIW1 solve — same contract as fused_em_solve_packed
-    but through the fused SRK kernel (the torch-ists default solver), with
-    per-model (dW, I10) drawn exactly like fused_srk_solve would from
-    each member's key. Returns ys [K, T, B, H]."""
+    (incl. optional per-member `paths`) but through the fused SRK kernel
+    (the torch-ists default solver), with per-model (dW, I10) drawn
+    exactly like fused_srk_solve would from each member's key.
+    Returns ys [K, T, B, H]."""
     from ..kernels.fused_srk import fused_srk_solve
     from ..models.neuralsde import resolve_dt
     from ..ops.brownian import brownian_increments, space_time_levy_area
@@ -249,9 +277,19 @@ def fused_srk_solve_packed(fields, path, times, y0s, keys, dt=None,
     dW = jnp.concatenate(dWs, axis=-1)
     I10 = jnp.concatenate(I10s, axis=-1)
 
+    xh = None
+    if paths is not None and fields[0].input_option in (0, 2, 4, 6):
+        if len(paths) != K:
+            raise ValueError("need one control path per field")
+        import numpy as _np
+
+        dts_np = _np.diff(grid).astype(_np.float64)
+        td = [grid[:-1], grid[:-1] + 0.75 * dts_np]  # SRK drift stages
+        xh = tuple(_member_xh(fields, paths, tv) for tv in td)
+
     y0 = jnp.concatenate([y0s[i] for i in range(K)], axis=-1)
     ys = fused_srk_solve(packed, path, times, y0, keys[0], dt=dt,
                          stream_dtype=stream_dtype,
-                         brownian_override=(dW, I10))
+                         brownian_override=(dW, I10), xh_override=xh)
     T = ys.shape[0]
     return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)

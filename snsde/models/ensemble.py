@@ -131,10 +131,13 @@ class SeedEnsemble(Module):
 
 
 def packed_solve(fields, path, times, y0s, keys, *, method="euler",
-                 dt=None):
+                 dt=None, paths=None):
     """Shared K-member solve dispatch: one lane-packed fused kernel on TPU
     (euler -> fused_em, srk -> fused_srk), per-member scan solves
-    otherwise (identical key handling either way). Returns [K, L, B, H]."""
+    otherwise (identical key handling either way). `paths` (list of K)
+    gives each member its OWN control path (per-seed missingness in the
+    robustness sweep); omitted, all members share `path`.
+    Returns [K, L, B, H]."""
     dt = resolve_dt(times) if dt is None else dt
     use_packed = (
         jax.default_backend() == "tpu"
@@ -146,13 +149,15 @@ def packed_solve(fields, path, times, y0s, keys, *, method="euler",
         from ..kernels.multi import (fused_em_solve_packed,
                                      fused_srk_solve_packed)
 
-        if not is_batched(fields, y0s, keys[0]):
+        if not is_batched(fields, y0s, keys[0], paths):
             packed_fn = (fused_em_solve_packed if method == "euler"
                          else fused_srk_solve_packed)
-            return packed_fn(list(fields), path, times, y0s, keys, dt=dt)
+            return packed_fn(list(fields), path, times, y0s, keys, dt=dt,
+                             paths=paths)
+    member_paths = paths if paths is not None else [path] * len(fields)
     zs = [
-        solve_dispatch(f.bind(path), path, times, y0s[i], key=keys[i],
-                       dt=dt, method=method)
+        solve_dispatch(f.bind(member_paths[i]), member_paths[i], times,
+                       y0s[i], key=keys[i], dt=dt, method=method)
         for i, f in enumerate(fields)
     ]
     return jnp.stack(zs)

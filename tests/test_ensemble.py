@@ -120,3 +120,57 @@ def test_ensemble_history_tracks_per_member_lr():
     for res in results:
         for h in res.history:
             assert "lr" in h and h["lr"] > 0
+
+
+@pytest.mark.slow
+def test_packed_robustness_sweep_cell(tmp_path):
+    """pack_seeds=True trains an SDE cell's seeds concurrently (per-member
+    missingness + splits, per-member control paths); records appear per
+    seed with the packed marker and finite metrics."""
+    from snsde.data.synthetic import synthetic_uea
+    from snsde.harness.robustness import SweepConfig, run_robustness_sweep
+
+    cfg = SweepConfig(models=("neuralsde_4_17",), missing_rates=(0.3,),
+                      seeds=(0, 1), hidden_dim=8, batch_size=32,
+                      max_epochs=2, out_dir=str(tmp_path))
+    res = run_robustness_sweep(cfg, n=96, verbose=False, pack_seeds=True)
+    assert len(res) == 2
+    for r in res:
+        assert "error" not in r, r
+        assert r["packed"] == 2
+        assert 0.0 <= r["accuracy"] <= 1.0
+    # resume: a second call reads the records back, trains nothing
+    res2 = run_robustness_sweep(cfg, n=96, verbose=False, pack_seeds=True)
+    assert len(res2) == 2
+
+
+@pytest.mark.slow
+def test_packed_sweep_members_see_their_own_data():
+    """Member k of the packed cell must train on seed k's missingness and
+    split: per-seed preprocessed arrays differ, and the per-member paths
+    flow through train_ists_ensemble (behavioral: metrics finite, members
+    end with different params)."""
+    from snsde.data.synthetic import synthetic_uea
+    from snsde.data.common import stratified_split
+    from snsde.harness.robustness import (ISTSSeedEnsembleSDE,
+                                          preprocess_ists,
+                                          train_ists_ensemble)
+
+    X, y, _ = synthetic_uea(n=80)
+    datas = [preprocess_ists(X, missing_rate=0.5, seed=s) for s in (0, 1)]
+    # per-seed missingness genuinely differs
+    assert not np.allclose(datas[0]["seq"], datas[1]["seq"])
+    splits = [stratified_split(y, seed=s) for s in (0, 1)]
+    assert not np.array_equal(np.sort(splits[0][0]), np.sort(splits[1][0]))
+    model = ISTSSeedEnsembleSDE.create(
+        jax.random.PRNGKey(0), "neuralsde_2_16", X.shape[-1], X.shape[1],
+        8, int(y.max()) + 1, 2)
+    model, test_ms = train_ists_ensemble(
+        jax.random.PRNGKey(0), model, datas, y, splits, batch_size=32,
+        max_epochs=2)
+    assert len(test_ms) == 2
+    for tm in test_ms:
+        assert np.isfinite(tm.loss)
+    w0 = np.asarray(model.members[0].fc2.weight)
+    w1 = np.asarray(model.members[1].fc2.weight)
+    assert not np.allclose(w0, w1)
