@@ -82,10 +82,28 @@ def equal_length(cases, target_len: Optional[int] = None) -> np.ndarray:
 
 
 def load_dataset(name: str, data_dir: str):
-    """Load <name>_TRAIN.ts / <name>_TEST.ts from data_dir/<name>/."""
+    """Load <name>_TRAIN.ts / <name>_TEST.ts from data_dir/<name>/,
+    auto-extracting them from a downloaded Multivariate2018_ts.zip if the
+    directory is missing (the reference unzips manually; uea.py:17-41)."""
     base = os.path.join(data_dir, name)
     train_p = os.path.join(base, f"{name}_TRAIN.ts")
     test_p = os.path.join(base, f"{name}_TEST.ts")
+    if not (os.path.exists(train_p) and os.path.exists(test_p)):
+        zpath = os.path.join(data_dir, os.path.basename(ARCHIVE_URL))
+        if os.path.exists(zpath):
+            import zipfile
+
+            with zipfile.ZipFile(zpath) as zf:
+                members = [
+                    m for m in zf.namelist()
+                    if f"/{name}/" in f"/{m}" and m.endswith(".ts")
+                    and ".." not in m and not m.startswith("/")
+                ]
+                for m in members:
+                    target = os.path.join(base, os.path.basename(m))
+                    os.makedirs(base, exist_ok=True)
+                    with zf.open(m) as src, open(target, "wb") as dst:
+                        dst.write(src.read())
     if not (os.path.exists(train_p) and os.path.exists(test_p)):
         raise FileNotFoundError(
             f"{train_p} missing — extract the UEA archive into {data_dir}"
