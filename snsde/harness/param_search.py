@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -19,9 +20,13 @@ import jax
 import numpy as np
 
 from ..data.common import stratified_split
-from .robustness import ISTSClassifier, preprocess_ists, train_ists_model
+from .robustness import (ISTSClassifier, ISTSSeedEnsembleSDE,
+                         preprocess_ists, train_ists_ensemble,
+                         train_ists_model)
 
 __all__ = ["SearchSpace", "asha_search"]
+
+_SDE_GRID_RE = re.compile(r"^neuralsde_\d+_\d+$")
 
 
 @dataclass
@@ -46,8 +51,18 @@ def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
                 reduction_factor: int = 2, seed: int = 0,
                 space: SearchSpace = SearchSpace(),
                 out_path: Optional[str] = None,
-                missing_rate: float = 0.0, batch_size: int = 64) -> Dict:
-    """Successive-halving search; returns the best config + score."""
+                missing_rate: float = 0.0, batch_size: int = 64,
+                pack: bool = False) -> Dict:
+    """Successive-halving search; returns the best config + score.
+
+    pack=True groups a rung's surviving SDE-grid trials by
+    (hidden_dim, num_hidden_layers) — trials in a group differ only in
+    lr — and trains each group concurrently through ONE lane-packed
+    fused solve with per-member learning rates (train_ists_ensemble
+    `lrs=`). The reference runs its ASHA trials as separate ray actors
+    (param_search.py:96-300); lane packing is the TPU-native equivalent
+    for same-shape trials. Non-SDE models and singleton groups use the
+    solo loop."""
     rng = np.random.default_rng(seed)
     data = preprocess_ists(X, missing_rate=missing_rate)
     splits = stratified_split(y, seed=seed)
@@ -58,26 +73,66 @@ def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
         for _ in range(num_samples)
     ]
 
+    def run_solo(ti: int, budget: int):
+        cfg = trials[ti]["config"]
+        key = jax.random.PRNGKey(seed * 1000 + ti)
+        model = ISTSClassifier.create(
+            key, model_name, X.shape[-1], X.shape[1],
+            cfg["hidden_dim"], num_classes,
+            num_hidden_layers=cfg["num_hidden_layers"],
+        )
+        _, test_m = train_ists_model(
+            key, model, data, y, splits, lr=cfg["lr"],
+            batch_size=batch_size, max_epochs=budget,
+            patience=budget,
+        )
+        trials[ti]["score"] = test_m.accuracy
+
+    def run_packed(tis, budget: int):
+        # per-trial init keys match the solo path exactly
+        members = tuple(
+            ISTSClassifier.create(
+                jax.random.PRNGKey(seed * 1000 + ti), model_name,
+                X.shape[-1], X.shape[1],
+                trials[tis[0]]["config"]["hidden_dim"], num_classes,
+                num_hidden_layers=(
+                    trials[tis[0]]["config"]["num_hidden_layers"]),
+            )
+            for ti in tis
+        )
+        model = ISTSSeedEnsembleSDE(members=members, method="euler")
+        K = len(tis)
+        _, test_ms = train_ists_ensemble(
+            jax.random.PRNGKey(seed * 1000 + tis[0]), model,
+            [data] * K, y, [splits] * K,
+            lrs=[trials[ti]["config"]["lr"] for ti in tis],
+            batch_size=batch_size, max_epochs=budget, patience=budget,
+        )
+        for ti, tm in zip(tis, test_ms):
+            trials[ti]["score"] = tm.accuracy
+
     budget_per_rung = list(rungs)
     epochs_done = [0] * num_samples
     for rung_idx, budget in enumerate(budget_per_rung):
-        for ti, trial in enumerate(trials):
-            if not trial["alive"]:
-                continue
-            cfg = trial["config"]
-            key = jax.random.PRNGKey(seed * 1000 + ti)
-            model = ISTSClassifier.create(
-                key, model_name, X.shape[-1], X.shape[1],
-                cfg["hidden_dim"], num_classes,
-                num_hidden_layers=cfg["num_hidden_layers"],
-            )
-            _, test_m = train_ists_model(
-                key, model, data, y, splits, lr=cfg["lr"],
-                batch_size=batch_size, max_epochs=budget,
-                patience=budget,
-            )
-            trial["score"] = test_m.accuracy
-            epochs_done[ti] = budget
+        alive_idx = [ti for ti, t in enumerate(trials) if t["alive"]]
+        if pack and _SDE_GRID_RE.match(model_name):
+            groups: Dict[tuple, list] = {}
+            for ti in alive_idx:
+                c = trials[ti]["config"]
+                groups.setdefault(
+                    (c["hidden_dim"], c["num_hidden_layers"]), []
+                ).append(ti)
+            for tis in groups.values():
+                if len(tis) == 1:
+                    run_solo(tis[0], budget)
+                else:
+                    run_packed(tis, budget)
+                for ti in tis:
+                    epochs_done[ti] = budget
+        else:
+            for ti in alive_idx:
+                run_solo(ti, budget)
+                epochs_done[ti] = budget
         # prune bottom (1 - 1/reduction_factor)
         alive = [t for t in trials if t["alive"]]
         alive.sort(key=lambda t: -(t["score"] or 0.0))

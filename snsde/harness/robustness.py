@@ -449,7 +449,8 @@ class ISTSSeedEnsembleSDE(Module):
 def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
                         splits_list, lr: float = 1e-3,
                         batch_size: int = 64, max_epochs: int = 30,
-                        patience: int = 10, verbose: bool = False):
+                        patience: int = 10, verbose: bool = False,
+                        lrs=None):
     """Train K sweep seeds concurrently through the packed solve.
 
     datas: list of K preprocessed dicts (per-seed missingness);
@@ -457,8 +458,12 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
     Policy per member, faithful to train_ists_model: StepLR(10, 0.5)
     (deterministic — shared across members), patience-10 early stop on
     val accuracy with best-model restore, 100x fc2 grad hook, clip 10.
-    Returns (model, [per-member test metrics])."""
+    `lrs` (length-K) gives each member its OWN base learning rate (ASHA
+    trials packed per rung differ only in lr); all members share the
+    StepLR decay schedule. Returns (model, [per-member test metrics])."""
     K = model.n_members
+    lr_base = np.asarray(lrs if lrs is not None else [lr] * K, np.float32)
+    assert lr_base.shape == (K,)
     cls = type(model)
     num_classes = int(y.max()) + 1
     yi = y.astype(np.int64)
@@ -499,10 +504,10 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
     grad_hook = readout_grad_hook("fc2")
 
     @jax.jit
-    def epoch_step(m, opt_states, perm, masks, keys, lr_val, active):
+    def epoch_step(m, opt_states, perm, masks, keys, lr_vec, active):
         opt_states = list(opt_states)
         for k in range(K):
-            opt_states[k].hyperparams["learning_rate"] = lr_val
+            opt_states[k].hyperparams["learning_rate"] = lr_vec[k]
         opt_states = tuple(opt_states)
 
         def body(carry, xs):
@@ -578,22 +583,22 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
                                               num_classes))
         return out
 
-    sched = StepLRSched(lr=lr, step_size=10, gamma=0.5)
+    sched = StepLRSched(lr=1.0, step_size=10, gamma=0.5)
     rngs = [np.random.default_rng(k) for k in range(K)]
     best_val = np.full(K, -np.inf)
     best_params = [cls.member_subtree(params0, k) for k in range(K)]
     stale = np.zeros(K, int)
     active = np.ones(K, np.float32)
     terminated = np.zeros(K, bool)
-    lr_val = lr
+    decay = 1.0
     for epoch in range(max_epochs):
         perm, masks, _ = _grid([sp[0] for sp in splits_list], rngs=rngs)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, nb)
         model, opt_states, _ = epoch_step(
             model, opt_states, jnp.asarray(perm), jnp.asarray(masks),
-            keys, jnp.asarray(lr_val), jnp.asarray(active))
-        lr_val = sched.step()
+            keys, jnp.asarray(lr_base * decay), jnp.asarray(active))
+        decay = sched.step()
         key, k1 = jax.random.split(key)
         val_ms = evaluate(model, 1, k1)
         params_now, _ = partition(model)

@@ -57,12 +57,26 @@ def odeint_dopri5(
     safety: float = 0.9,
     min_factor: float = 0.2,
     max_factor: float = 10.0,
+    differentiable: bool = False,
 ):
     """Adaptive RK45. ts: [T] concrete output times. Returns [T, ...shape].
 
     Dense output: cubic Hermite interpolation between accepted steps using
     (y, f) at both ends — 4th-order accurate, matching torchdiffeq's default
     usage pattern for output-time evaluation.
+
+    `differentiable=True` replaces the `while_loop` with a masked
+    `lax.scan` over exactly `max_steps` iterations (choose a modest bound,
+    e.g. 256 — every iteration costs 6 f-evals whether or not the solve
+    has finished): identical results, reverse-mode AD works. Step-size
+    control (accept/reject, h adaptation) is wrapped in stop_gradient, so
+    gradients flow through the state chain on the realized grid — the
+    discretize-then-optimize semantics, the same policy as
+    `sdeint_adaptive(differentiable=True)` and the reference's
+    TorchDiffEqPack checkpointed adjoint (odesolver_mem/adjoint.py).
+
+    If `max_steps` is exhausted before the last output time, the
+    unreached outputs are NaN — never a silent partial integration.
     """
     ts_np = np.asarray(jax.device_get(ts), dtype=np.float64)
     dtype = jnp.result_type(y0)
@@ -142,10 +156,14 @@ def odeint_dopri5(
 
     def body(state):
         t, y, f_t, h, out, next_out, n = state
-        h = jnp.minimum(h, t_final - t)
-        h = jnp.maximum(h, 1e-12)
+        # step-size control is non-differentiable by construction
+        # (discrete accept/reject); gradients flow through the STATE
+        # chain on the realized grid
+        h = jax.lax.stop_gradient(
+            jnp.maximum(jnp.minimum(h, t_final - t), 1e-12))
+        t = jax.lax.stop_gradient(t)
         y_new, y_err, f_new = rk_step(t, y, f_t, h)
-        ratio = error_ratio(y_err, y, y_new)
+        ratio = jax.lax.stop_gradient(error_ratio(y_err, y, y_new))
         accept = ratio <= 1.0
 
         factor = jnp.clip(
@@ -165,12 +183,37 @@ def odeint_dopri5(
 
     state = (t0, y0, f0, h0, out0, jnp.asarray(1, jnp.int32),
              jnp.asarray(0, jnp.int32))
-    _, _, _, _, out, next_out, _ = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        # masked fixed-length scan: no-op once done (reverse-mode AD)
+        def scan_body(st, _):
+            take = cond(st)
+            nxt = body(st)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, b, a), st, nxt
+            )
+            return st2, None
+
+        (_, _, _, _, out, next_out, _), _ = jax.lax.scan(
+            scan_body, state, None, length=max_steps
+        )
+    else:
+        _, _, _, _, out, next_out, _ = jax.lax.while_loop(cond, body,
+                                                          state)
+    # Exhausting max_steps before the last output must NOT return a
+    # plausible-looking partial integration: poison unreached outputs.
+    reached = jnp.arange(T) < next_out
+    out = jnp.where(
+        reached.reshape((T,) + (1,) * (out.ndim - 1)), out, jnp.nan
+    )
+    if differentiable:
+        return out
     from ._guards import nondiff_guard
 
     return nondiff_guard(
         out, "odeint_dopri5",
         "For training losses use a fixed-grid method (euler/rk4/...; all "
-        "are differentiable scans), or sdeint_adaptive(..., "
-        "differentiable=True) for adaptive SDE solves.",
+        "are differentiable scans), odeint/cdeint with "
+        "differentiable=True (masked-scan dopri5), or "
+        "sdeint_adaptive(..., differentiable=True) for adaptive SDE "
+        "solves.",
     )

@@ -28,8 +28,13 @@ __all__ = ["odeint_rk23", "odeint_rk12", "odeint_ode23s", "odeint_sym12"]
 
 
 def _adaptive_embedded(f, y0, ts, stages, b_high, b_low, c, order,
-                       rtol, atol, max_steps):
-    """Generic embedded adaptive RK over concrete output times."""
+                       rtol, atol, max_steps, differentiable=False):
+    """Generic embedded adaptive RK over concrete output times.
+
+    `differentiable=True` runs the step loop as a masked `lax.scan` over
+    exactly `max_steps` iterations (reverse-mode AD works; step-size
+    control under stop_gradient — same policy as
+    `odeint_dopri5(differentiable=True)`)."""
     ts_np = np.asarray(jax.device_get(ts), np.float64)
     dtype = jnp.result_type(y0)
     y0 = jnp.asarray(y0, dtype)
@@ -83,10 +88,13 @@ def _adaptive_embedded(f, y0, ts, stages, b_high, b_low, c, order,
 
     def body(state):
         t, y, h, out, next_out, n = state
-        h = jnp.clip(h, 1e-10, t_final - t + 1e-10)
+        h = jax.lax.stop_gradient(
+            jnp.clip(h, 1e-10, t_final - t + 1e-10))
+        t = jax.lax.stop_gradient(t)
         y_new, y_err = rk_step(t, y, h)
         tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
-        ratio = jnp.sqrt(jnp.mean((y_err / tol) ** 2))
+        ratio = jax.lax.stop_gradient(
+            jnp.sqrt(jnp.mean((y_err / tol) ** 2) + 1e-30))
         accept = ratio <= 1.0
         factor = jnp.clip(
             0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / order),
@@ -101,17 +109,39 @@ def _adaptive_embedded(f, y0, ts, stages, b_high, b_low, c, order,
 
     state = (jnp.asarray(ts_np[0], dtype), y0, h0, out0,
              jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
-    _, _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        def scan_body(st, _):
+            take = cond(st)
+            nxt = body(st)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, b, a), st, nxt
+            )
+            return st2, None
+
+        (_, _, _, out, next_out, _), _ = jax.lax.scan(
+            scan_body, state, None, length=max_steps
+        )
+    else:
+        _, _, _, out, next_out, _ = jax.lax.while_loop(cond, body, state)
+    # poison unreached outputs (budget exhaustion is never silent)
+    reached = jnp.arange(T) < next_out
+    out = jnp.where(
+        reached.reshape((T,) + (1,) * (out.ndim - 1)), out, jnp.nan
+    )
+    if differentiable:
+        return out
     from ._guards import nondiff_guard
 
     return nondiff_guard(
         out, "adaptive embedded RK (rk12/rk23)",
         "For training losses use a fixed-grid method (euler/rk4/...; all "
-        "are differentiable scans).",
+        "are differentiable scans), or pass differentiable=True for the "
+        "masked-scan adaptive mode.",
     )
 
 
-def odeint_rk23(f, y0, ts, rtol=1e-4, atol=1e-6, max_steps=4096):
+def odeint_rk23(f, y0, ts, rtol=1e-4, atol=1e-6, max_steps=4096,
+                differentiable=False):
     """Bogacki–Shampine 2(3)."""
     A = [np.array([]), np.array([0.5]), np.array([0.0, 0.75]),
          np.array([2 / 9, 1 / 3, 4 / 9])]
@@ -119,17 +149,20 @@ def odeint_rk23(f, y0, ts, rtol=1e-4, atol=1e-6, max_steps=4096):
     b_low = [7 / 24, 1 / 4, 1 / 3, 1 / 8]
     c = [0.0, 0.5, 0.75, 1.0]
     return _adaptive_embedded(f, y0, ts, A, b_high, b_low, c, 3, rtol,
-                              atol, max_steps)
+                              atol, max_steps,
+                              differentiable=differentiable)
 
 
-def odeint_rk12(f, y0, ts, rtol=1e-3, atol=1e-5, max_steps=8192):
+def odeint_rk12(f, y0, ts, rtol=1e-3, atol=1e-5, max_steps=8192,
+                differentiable=False):
     """Heun–Euler 1(2)."""
     A = [np.array([]), np.array([1.0])]
     b_high = [0.5, 0.5]
     b_low = [1.0, 0.0]
     c = [0.0, 1.0]
     return _adaptive_embedded(f, y0, ts, A, b_high, b_low, c, 2, rtol,
-                              atol, max_steps)
+                              atol, max_steps,
+                              differentiable=differentiable)
 
 
 def odeint_ode23s(f, y0, ts, dt=None, max_steps=4096):

@@ -376,26 +376,33 @@ def odeint(
     dt: Optional[float] = None,
     method: str = "rk4",
     remat: bool = True,
+    differentiable: bool = False,
+    max_steps: int = 4096,
 ):
     """Fixed-grid ODE integration; ys [T, ...y0.shape].
 
     Replaces torchdiffeq.odeint/odeint_adjoint for the fixed-grid methods the
     reference defaults to (rk4 with step_size, cf.
     /root/reference/benchmark_classification/models_sde/metamodel.py:109-118).
-    For 'dopri5' see `odeint_dopri5` in ops.dopri (adaptive, while_loop).
+    For 'dopri5' see `odeint_dopri5` in ops.dopri (adaptive, while_loop;
+    `differentiable=True` switches it to a masked scan over `max_steps`
+    iterations so reverse-mode AD works — pick a modest bound then).
     """
     if method == "dopri5":
         from .dopri import odeint_dopri5
 
-        return odeint_dopri5(f, y0, ts)
+        return odeint_dopri5(f, y0, ts, differentiable=differentiable,
+                             max_steps=max_steps)
     if method == "rk23":
         from .extra_solvers import odeint_rk23
 
-        return odeint_rk23(f, y0, ts)
+        return odeint_rk23(f, y0, ts, differentiable=differentiable,
+                           max_steps=max_steps)
     if method == "rk12":
         from .extra_solvers import odeint_rk12
 
-        return odeint_rk12(f, y0, ts)
+        return odeint_rk12(f, y0, ts, differentiable=differentiable,
+                           max_steps=max_steps)
     if method == "ode23s":
         from .extra_solvers import odeint_ode23s
 
@@ -427,13 +434,17 @@ def odeint(
 
 
 def cdeint(X, func: Callable, z0, ts, *, dt: Optional[float] = None,
-           method: str = "rk4", remat: bool = True):
+           method: str = "rk4", remat: bool = True,
+           differentiable: bool = False, max_steps: int = 4096):
     """Controlled differential equation  dz = f(z) dX(t).
 
     X:    a path object with .derivative(t) -> [..., C] (CubicPath etc.)
     func: (t, z) -> [..., H, C] matrix vector field.
     CDE→ODE reduction (reference cdeint_module.py:5-95):
         dz/dt = f(z) @ dX/dt.
+    `differentiable=True` makes the adaptive methods (dopri5) trainable
+    via a masked scan bounded by `max_steps`; fixed-grid methods are
+    always differentiable.
     """
 
     def ode_f(t, z):
@@ -441,7 +452,8 @@ def cdeint(X, func: Callable, z0, ts, *, dt: Optional[float] = None,
         fz = func(t, z)                 # [..., H, C]
         return jnp.einsum("...hc,...c->...h", fz, dX)
 
-    return odeint(ode_f, z0, ts, dt=dt, method=method, remat=remat)
+    return odeint(ode_f, z0, ts, dt=dt, method=method, remat=remat,
+                  differentiable=differentiable, max_steps=max_steps)
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,109 @@ class TestNonDiffGuards:
 
         with pytest.raises(NotImplementedError, match="fixed-grid"):
             jax.grad(loss)(0.5)
+
+
+class TestDifferentiableDopri5:
+    """odeint_dopri5(differentiable=True): masked-scan mode is exact vs
+    the while_loop mode and reverse-differentiates with
+    discretize-then-optimize semantics (same policy as
+    sdeint_adaptive(differentiable=True))."""
+
+    def test_forward_equality(self):
+        from snsde.ops.dopri import odeint_dopri5
+
+        ts = np.linspace(0.0, 1.0, 7).astype(np.float32)
+        f = lambda t, y: -2.0 * y + jnp.sin(3.0 * t)
+        y0 = jnp.asarray([1.0, -0.5, 2.0])
+        ys_wl = odeint_dopri5(f, y0, ts, max_steps=256)
+        ys_sc = odeint_dopri5(f, y0, ts, max_steps=256,
+                              differentiable=True)
+        np.testing.assert_allclose(np.asarray(ys_wl), np.asarray(ys_sc),
+                                   rtol=0, atol=0)
+
+    def test_grad_matches_analytic(self):
+        from snsde.ops.dopri import odeint_dopri5
+
+        ts = np.array([0.0, 1.0], np.float32)
+
+        def loss(a):
+            ys = odeint_dopri5(lambda t, y: -a * y, jnp.ones(()), ts,
+                               rtol=1e-6, atol=1e-8, max_steps=256,
+                               differentiable=True)
+            return ys[-1]                      # = exp(-a)
+
+        g = jax.grad(loss)(jnp.float32(0.7))
+        np.testing.assert_allclose(float(g), -np.exp(-0.7), rtol=1e-4)
+
+    def test_cdeint_dopri5_trains(self):
+        from snsde.ops.interp import CubicPath, natural_cubic_coeffs
+        from snsde.ops.solve import cdeint
+
+        ts = np.linspace(0.0, 1.0, 6).astype(np.float32)
+        vals = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 6, 3)).astype(
+                np.float32))
+        path = CubicPath(natural_cubic_coeffs(ts, vals), ts)
+
+        def loss(w):
+            def func(t, z):
+                return jnp.tanh(w) * jnp.ones(z.shape + (3,))
+
+            zs = cdeint(path, func, jnp.zeros((2, 4)), ts,
+                        method="dopri5", differentiable=True,
+                        max_steps=128)
+            return jnp.mean(zs[-1] ** 2)
+
+        g = jax.grad(loss)(jnp.float32(0.5))
+        assert bool(jnp.isfinite(g))
+        assert float(jnp.abs(g)) > 0.0
+
+    def test_budget_exhaustion_poisons_nan(self):
+        from snsde.ops.dopri import odeint_dopri5
+
+        ts = np.linspace(0.0, 10.0, 5).astype(np.float32)
+        # stiff + tiny budget: cannot reach the end
+        for diff in (False, True):
+            ys = odeint_dopri5(lambda t, y: -80.0 * y, jnp.ones((2,)), ts,
+                               rtol=1e-9, atol=1e-12, max_steps=4,
+                               differentiable=diff)
+            assert bool(jnp.isnan(ys[-1]).all()), diff
+            assert bool(jnp.isfinite(ys[0]).all())
+
+
+class TestDifferentiableEmbeddedRK:
+    """rk23/rk12 masked-scan mode: forward-exact vs while_loop, grads
+    match analytic."""
+
+    def test_rk23_forward_equality_and_grad(self):
+        from snsde.ops.extra_solvers import odeint_rk23
+
+        ts = np.linspace(0.0, 1.0, 5).astype(np.float32)
+        f = lambda t, y: -1.5 * y
+        y0 = jnp.asarray([1.0, 2.0])
+        ys_wl = odeint_rk23(f, y0, ts, max_steps=512)
+        ys_sc = odeint_rk23(f, y0, ts, max_steps=512, differentiable=True)
+        np.testing.assert_allclose(np.asarray(ys_wl), np.asarray(ys_sc),
+                                   rtol=0, atol=0)
+
+        def loss(a):
+            ys = odeint_rk23(lambda t, y: -a * y, jnp.ones(()),
+                             np.array([0.0, 1.0], np.float32),
+                             rtol=1e-6, atol=1e-8, max_steps=512,
+                             differentiable=True)
+            return ys[-1]
+
+        g = jax.grad(loss)(jnp.float32(0.7))
+        np.testing.assert_allclose(float(g), -np.exp(-0.7), rtol=1e-3)
+
+    def test_rk12_grad_finite(self):
+        from snsde.ops.extra_solvers import odeint_rk12
+
+        def loss(a):
+            ys = odeint_rk12(lambda t, y: -a * y, jnp.ones((3,)),
+                             np.array([0.0, 1.0], np.float32),
+                             max_steps=512, differentiable=True)
+            return jnp.mean(ys[-1])
+
+        g = jax.grad(loss)(jnp.float32(0.4))
+        assert bool(jnp.isfinite(g))

@@ -90,6 +90,27 @@ def test_asha_search():
     assert sum(t["alive"] for t in out["trials"]) < 3
 
 
+@pytest.mark.slow
+def test_asha_search_packed():
+    """pack=True groups same-shape SDE trials per rung and trains them
+    through the packed ensemble with per-member lrs; scores must be
+    populated for every trial and pruning must still happen."""
+    from snsde.data.synthetic import synthetic_uea
+    from snsde.harness.param_search import SearchSpace, asha_search
+
+    X, y, _ = synthetic_uea(n=64, length=8, channels=2)
+    # single shape choice -> every rung is one packed group
+    space = SearchSpace(hidden_choices=(8,), layer_choices=(1,))
+    out = asha_search("neuralsde_4_17", X, y, num_samples=3,
+                      rungs=(1, 2), seed=0, space=space, pack=True)
+    assert out["best_config"] is not None
+    assert all(t["score"] is not None for t in out["trials"])
+    assert 0.0 <= out["best_score"] <= 1.0
+    assert sum(t["alive"] for t in out["trials"]) < 3
+    lrs = {round(t["config"]["lr"], 8) for t in out["trials"]}
+    assert len(lrs) == 3  # distinct per-member lrs went through one pack
+
+
 def test_resolve_sde_method_contract():
     from snsde.harness.forecasting import resolve_sde_method
 
