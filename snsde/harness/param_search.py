@@ -100,7 +100,8 @@ def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
             )
             for ti in tis
         )
-        model = ISTSSeedEnsembleSDE(members=members, method="euler")
+        model = ISTSSeedEnsembleSDE(
+            members=members, method=members[0].layer.inner.method)
         K = len(tis)
         _, test_ms = train_ists_ensemble(
             jax.random.PRNGKey(seed * 1000 + tis[0]), model,

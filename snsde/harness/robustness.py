@@ -143,6 +143,9 @@ class SweepConfig:
     patience: int = 10
     out_dir: str = "out"
     kl_weight: float = 1e-4
+    # None -> each model family's reference default (SDE streams: srk,
+    # nsde_model.py:67; NCDE: rk4). The reference sweep never overrides.
+    method: object = None
 
 
 def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
@@ -300,7 +303,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                     model = ISTSSeedEnsembleSDE.create(
                         jax.random.PRNGKey(seeds[0]), model_name,
                         X.shape[-1], X.shape[1], cfg.hidden_dim,
-                        int(y.max()) + 1, len(seeds),
+                        int(y.max()) + 1, len(seeds), method=cfg.method,
                     )
                     model, test_ms = train_ists_ensemble(
                         jax.random.PRNGKey(seeds[0]), model, datas, y,
@@ -317,6 +320,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                             "f1_weighted": float(tm.f1_weighted),
                             "wall_time": wall / len(seeds),
                             "packed": len(seeds),
+                            "method": model.method,
                         }, out_path)
                     continue
                 except Exception as e:  # blanket skip, as model_run.py
@@ -337,6 +341,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                     model = ISTSClassifier.create(
                         key, model_name, X.shape[-1], X.shape[1],
                         cfg.hidden_dim, int(y.max()) + 1,
+                        method=cfg.method,
                     )
                     model, test_m = train_ists_model(
                         key, model, data, y, splits, lr=cfg.lr,
@@ -352,6 +357,9 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                         "accuracy": float(test_m.accuracy),
                         "f1_weighted": float(test_m.f1_weighted),
                         "wall_time": time.time() - t0,
+                        "method": getattr(
+                            getattr(model.layer, "inner", None),
+                            "method", None),
                     }
                 except Exception as e:  # model_run.py:297-305 blanket skip
                     rec = {
@@ -398,8 +406,9 @@ class ISTSSeedEnsembleSDE(Module):
                                   num_hidden_layers, method=method)
             for k in keys
         )
+        # follow the member stream's solver (srk by reference default)
         return ISTSSeedEnsembleSDE(members=members,
-                                   method=method or "euler")
+                                   method=members[0].layer.inner.method)
 
     @property
     def n_members(self) -> int:

@@ -422,9 +422,11 @@ def make_seq_layer(key, model_name: str, input_dim: int, seq_len: int,
         field = DiffusionField.create(k1, coeff_dim, hidden_dim, hh,
                                       num_hidden_layers, input_option=io,
                                       noise_option=no)
+        # the reference's torch-ists stream solves with srk unless told
+        # otherwise (diff_module/NSDE/nsde_model.py:67 default_method='srk')
         inner = NeuralSDEStream.create(k2, field, coeff_dim, hidden_dim,
                                        hidden_dim,
-                                       method=method or "euler")
+                                       method=method or "srk")
     else:
         raise NotImplementedError(
             f"{name}: registered but not yet implemented in round 1"

@@ -66,6 +66,18 @@ def test_registry_model_runs(data, name):
         assert len(res) == 3 and np.isfinite(float(res[2]))
 
 
+def test_sde_grid_default_solver_is_srk(data):
+    """The torch-ists stream solves with srk unless told otherwise
+    (reference diff_module/NSDE/nsde_model.py:67 default_method='srk');
+    an explicit method= overrides."""
+    key, seq, coeffs, (B, L, D) = data
+    layer = make_seq_layer(key, "neuralsde_4_17", D, L, 8, 8)
+    assert layer.inner.method == "srk"
+    layer = make_seq_layer(key, "neuralsde_4_17", D, L, 8, 8,
+                           method="euler")
+    assert layer.inner.method == "euler"
+
+
 def test_unknown_name_raises(data):
     key, seq, coeffs, (B, L, D) = data
     with pytest.raises(NotImplementedError):
