@@ -784,7 +784,12 @@ def _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
 def _pick_block(B):
     # 512 rows/block is the net sweet spot: 256 is faster for the forward
     # alone but the backward pays per-block weight-grad accumulators and
-    # reductions, which dominate at smaller blocks (measured on v5e).
+    # reductions, which dominate at smaller blocks (measured on v5e; a
+    # full-batch 1024 block was A/B'd and VMEM double-buffering of the
+    # U-step streams stops paying — SNSDE_FUSED_BLOCK overrides for A/Bs).
+    env = os.environ.get("SNSDE_FUSED_BLOCK")
+    if env and B % int(env) == 0:
+        return int(env)
     for cand in (512, 256, 128, 64, 32, 16, 8):
         if B % cand == 0:
             return cand

@@ -31,6 +31,7 @@ _drift_bwd/_noise_bwd helpers.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -521,7 +522,10 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
 def _pick_block(B):
     # SRK streams 2x the EM kernel's per-iteration VMEM (xh0/xh1, dw/i10,
     # three gk rows); 256-row blocks keep fwd+bwd within VMEM with
-    # double-buffering
+    # double-buffering (SNSDE_FUSED_BLOCK overrides for A/Bs)
+    env = os.environ.get("SNSDE_FUSED_BLOCK")
+    if env and B % int(env) == 0:
+        return int(env)
     for cand in (256, 128, 64, 32, 16, 8):
         if B % cand == 0:
             return cand
