@@ -39,9 +39,9 @@ from ..train.loop import (iterate_batches, readout_grad_hook,
 from ..train.metrics import classification_metrics
 from ..train.schedule import StepLR as StepLRSched
 
-__all__ = ["ISTSClassifier", "ISTSSeedEnsembleSDE", "preprocess_ists",
-           "run_robustness_sweep", "make_fixed_splits", "train_ists_model",
-           "train_ists_ensemble"]
+__all__ = ["ISTSClassifier", "ISTSSeedEnsembleSDE", "predict_ists",
+           "preprocess_ists", "run_robustness_sweep", "make_fixed_splits",
+           "train_ists_model", "train_ists_ensemble"]
 
 
 def preprocess_ists(X: np.ndarray, missing_rate: float = 0.0,
@@ -146,6 +146,10 @@ class SweepConfig:
     # None -> each model family's reference default (SDE streams: srk,
     # nsde_model.py:67; NCDE: rk4). The reference sweep never overrides.
     method: object = None
+    # write the reference's per-run prediction dump (y_true, y_pred,
+    # logits — model_run.py:262-274 pickles this triple; .npz here) next
+    # to each JSON record
+    save_preds: bool = False
 
 
 def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
@@ -241,6 +245,30 @@ def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
     return model, evaluate(model, split_data["test"], k1)
 
 
+def predict_ists(model: ISTSClassifier, data: Dict, y: np.ndarray, idx,
+                 batch_size: int = 64, key=None):
+    """Test-split prediction triple (y_true, y_pred, logits) for one
+    trained classifier — the payload the reference pickles per sweep run
+    (model_run.py:262-274)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    d = {"seq": data["seq"][idx], "coeffs": data["coeffs"][idx],
+         "y": y.astype(np.int64)[idx]}
+
+    @jax.jit
+    def fwd(m, batch, k):
+        logits, _, _ = m(batch["seq"], batch["coeffs"], key=k, train=False)
+        return logits
+
+    logits_all, ys = [], []
+    for i, (batch, nv) in enumerate(iterate_batches(d, batch_size)):
+        lo = fwd(model, batch, jax.random.fold_in(key, i))
+        logits_all.append(np.asarray(lo)[:nv])
+        ys.append(batch["y"][:nv])
+    logits = np.concatenate(logits_all)
+    y_true = np.concatenate(ys)
+    return y_true, logits.argmax(-1), logits
+
+
 _SDE_GRID_RE_SWEEP = re.compile(r"^neuralsde_\d+_\d+$")
 
 
@@ -312,7 +340,16 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                         max_epochs=cfg.max_epochs, patience=cfg.patience,
                     )
                     wall = time.time() - t0
-                    for (seed, out_path), tm in zip(pending, test_ms):
+                    for k, ((seed, out_path), tm) in enumerate(
+                            zip(pending, test_ms)):
+                        if cfg.save_preds:
+                            yt, yp, lo = predict_ists(
+                                model.members[k], datas[k], y,
+                                splits_list[k][2], cfg.batch_size)
+                            os.makedirs(os.path.dirname(out_path),
+                                        exist_ok=True)
+                            np.savez(out_path[:-5] + ".npz", y_true=yt,
+                                     y_pred=yp, logits=lo)
                         _write({
                             "dataset": dataset_name, "missing_rate": rate,
                             "model": model_name, "seed": seed,
@@ -361,6 +398,14 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                             getattr(model.layer, "inner", None),
                             "method", None),
                     }
+                    if cfg.save_preds:
+                        yt, yp, lo = predict_ists(model, data, y,
+                                                  splits[2],
+                                                  cfg.batch_size)
+                        os.makedirs(os.path.dirname(out_path),
+                                    exist_ok=True)
+                        np.savez(out_path[:-5] + ".npz", y_true=yt,
+                                 y_pred=yp, logits=lo)
                 except Exception as e:  # model_run.py:297-305 blanket skip
                     rec = {
                         "dataset": dataset_name, "missing_rate": rate,

@@ -132,16 +132,42 @@ def test_packed_robustness_sweep_cell(tmp_path):
 
     cfg = SweepConfig(models=("neuralsde_4_17",), missing_rates=(0.3,),
                       seeds=(0, 1), hidden_dim=8, batch_size=32,
-                      max_epochs=2, out_dir=str(tmp_path))
+                      max_epochs=2, out_dir=str(tmp_path), save_preds=True)
     res = run_robustness_sweep(cfg, n=96, verbose=False, pack_seeds=True)
     assert len(res) == 2
     for r in res:
         assert "error" not in r, r
         assert r["packed"] == 2
         assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["method"] == "srk"        # reference nsde_model.py:67
+    for seed in (0, 1):                    # per-member prediction dumps
+        import numpy as np
+        d = np.load(tmp_path / "synthetic_uea" / "30"
+                    / f"neuralsde_4_17_{seed}.npz")
+        assert (d["y_pred"] == d["logits"].argmax(-1)).all()
     # resume: a second call reads the records back, trains nothing
     res2 = run_robustness_sweep(cfg, n=96, verbose=False, pack_seeds=True)
     assert len(res2) == 2
+
+
+@pytest.mark.slow
+def test_sweep_prediction_dump(tmp_path):
+    """save_preds writes the reference's per-run (y_true, y_pred, logits)
+    triple (model_run.py:262-274 pickles it; .npz here) whose argmax
+    reproduces the recorded accuracy."""
+    import numpy as np
+    from snsde.harness.robustness import SweepConfig, run_robustness_sweep
+
+    cfg = SweepConfig(models=("gru",), missing_rates=(0.0,), seeds=(0,),
+                      hidden_dim=8, batch_size=32, max_epochs=2,
+                      out_dir=str(tmp_path), save_preds=True)
+    res = run_robustness_sweep(cfg, n=96, verbose=False)
+    (rec,) = res
+    d = np.load(tmp_path / "synthetic_uea" / "0" / "gru_0.npz")
+    assert d["logits"].shape[0] == d["y_true"].shape[0]
+    assert (d["y_pred"] == d["logits"].argmax(-1)).all()
+    acc = float((d["y_pred"] == d["y_true"]).mean())
+    assert abs(acc - rec["accuracy"]) < 1e-6
 
 
 @pytest.mark.slow
