@@ -519,17 +519,25 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-def _pick_block(B):
+def _pick_block(B, Hp=128):
     # SRK streams 2x the EM kernel's per-iteration VMEM (xh0/xh1, dw/i10,
-    # three gk rows); 256-row blocks keep fwd+bwd within VMEM with
-    # double-buffering (SNSDE_FUSED_BLOCK overrides for A/Bs)
+    # three gk rows), so its sweet spot sits one notch below EM's: 512-row
+    # blocks measured 28.1M vs 26.9M at 256 on v5e (fewer per-block
+    # weight-grad accumulators in the backward). Capped at 512x128 f32
+    # elements per (block, lane-padded H) tile so wider hidden sizes
+    # shrink the block instead of blowing VMEM double-buffering
+    # (SNSDE_FUSED_BLOCK overrides for A/Bs).
     env = os.environ.get("SNSDE_FUSED_BLOCK")
     if env and B % int(env) == 0:
         return int(env)
-    for cand in (256, 128, 64, 32, 16, 8):
+    cap = 512 * 128
+    best = None
+    for cand in (512, 256, 128, 64, 32, 16, 8):
         if B % cand == 0:
-            return cand
-    return B
+            best = best or cand
+            if cand * Hp <= cap:
+                return cand
+    return best or B
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -538,7 +546,7 @@ def _fused_srk(params, streams, y0, dts_tuple, cfg_key, n_inner, unroll):
     dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
     return _fused_srk_forward(params, streams, dts, y0, cfg=cfg,
                               n_inner=n_inner,
-                              block_b=_pick_block(y0.shape[0]),
+                              block_b=_pick_block(*y0.shape),
                               unroll=unroll)
 
 
@@ -556,7 +564,7 @@ def _fused_srk_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
     dparams, dstreams, dy0 = _fused_srk_backward(
         params, streams, dts, y0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        cfg=cfg, n_inner=n_inner, block_b=_pick_block(y0.shape[0]),
+        cfg=cfg, n_inner=n_inner, block_b=_pick_block(*y0.shape),
         unroll=unroll,
     )
     for k, v in streams.items():
@@ -605,9 +613,16 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     from .fused_em import is_batched
 
     dt = resolve_dt(times) if dt is None else dt
-    if is_batched(field, y0, key):
-        # under vmap: the scan path batches correctly (fused_em.is_batched);
-        # warn — the fallback costs ~6x (VERDICT r2 weak #1)
+    if is_batched(field, path, y0, key):
+        # Route the vmap axis onto the lane-packed SRK kernel (custom
+        # batching rule — see fused_em_solve's guard); scan fallback only
+        # for packed-caller overrides or SNSDE_VMAP_ROUTE=0.
+        if (brownian_override is None and xh_override is None
+                and os.environ.get("SNSDE_VMAP_ROUTE", "1") != "0"):
+            from .multi import route_vmapped
+
+            return route_vmapped("srk", field, path, times, y0, key, dt,
+                                 stream_dtype)
         import warnings
 
         warnings.warn(

@@ -27,7 +27,9 @@ the packed kernel gradients.
 
 from __future__ import annotations
 
+import os
 import types
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +38,13 @@ from jax.scipy.linalg import block_diag
 from .fused_em import fused_em_solve
 
 __all__ = ["fused_em_solve_packed", "fused_srk_solve_packed",
-           "pack_fields"]
+           "pack_fields", "route_vmapped", "MAX_PACKED_LANES"]
+
+# Routed vmap solves lane-pack up to this many hidden lanes (K * max(H,
+# HH)). Packed weights are [K*H, K*H] and stay VMEM-resident across every
+# step, so the cap bounds kernel VMEM at ~1 MB/weight matrix; larger vmap
+# axes fall back to the (warned) vmapped scan path.
+MAX_PACKED_LANES = 512
 
 
 def _ns(**kw):
@@ -244,6 +252,103 @@ def fused_em_solve_packed(fields, path, times, y0s, keys, dt=None,
                         xh_override=xh)
     T = ys.shape[0]
     return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)
+
+
+def _slice_member(tree, batched, i):
+    """Member i of a vmap-stacked pytree: leaves marked batched carry the
+    vmap axis at dim 0 (custom_vmap normalizes axes); unbatched leaves are
+    shared across members."""
+    return jax.tree_util.tree_map(
+        lambda l, b: l[i] if b else l, tree, batched
+    )
+
+
+def route_vmapped(kind, field, path, times, y0, key, dt, stream_dtype):
+    """Custom batching rule: route a vmapped fused solve onto the
+    lane-packed kernel instead of the ~5-6x slower scan fallback.
+
+    fused_{em,srk}_solve detect vmap BatchTracers (Mosaic mis-compiles the
+    kernels' scratch carry under automatic vmap lifting — fused_em.is_batched)
+    and call this router, which wraps the solve in jax.custom_batching so
+    the batching interpreter hands us the K stacked members: they are
+    sliced out, lane-packed with block-diagonal weights (pack_fields) and
+    solved by ONE fused kernel call. fused_*_solve_packed's key contract
+    makes routed member i draw the same Brownian increments a sequential
+    fused solve with keys[i] would (bit-exact under the threefry PRNG; the
+    default RBG PRNG is not transform-invariant for any vmapped draw, so
+    there routed == packed == sequential, all differing from what a
+    literal vmapped scan would draw).
+
+    Composition: only grad-AROUND-vmap is supported (grad(vmap(f)) /
+    jit(grad(vmap(f)))) — custom_vmap does not implement JVP of the
+    unbatched primal, but the unbatched path never runs here (the router
+    is only invoked when batching was already detected).
+
+    Falls back to the previous warned vmapped-scan behavior when the
+    packed width K*max(H, HH) exceeds MAX_PACKED_LANES.
+    """
+    from jax.custom_batching import custom_vmap
+
+    from ..ops.solve import sdeint
+
+    if kind == "em":
+        solve, packed_solve, method = (
+            fused_em_solve, fused_em_solve_packed, "euler")
+    else:
+        from .fused_srk import fused_srk_solve
+
+        solve, packed_solve, method = (
+            fused_srk_solve, fused_srk_solve_packed, "srk")
+
+    @custom_vmap
+    def core(field, path, y0, key):
+        return solve(field, path, times, y0, key, dt=dt,
+                     stream_dtype=stream_dtype)
+
+    @core.def_vmap
+    def rule(axis_size, in_batched, field_b, path_b, y0_b, key_b):
+        K = axis_size
+        fb, pb, yb, kb = in_batched
+        members = [_slice_member(field_b, fb, i) for i in range(K)]
+        H = members[0].linear_out.out_features
+        HH = members[0].linear_out.in_features
+        if K * max(H, HH) > MAX_PACKED_LANES:
+            warnings.warn(
+                f"vmapped fused {kind} solve: packed width {K}*"
+                f"{max(H, HH)} exceeds MAX_PACKED_LANES="
+                f"{MAX_PACKED_LANES}; falling back to the ~5x slower "
+                "scan path. Split the vmap axis or use "
+                "snsde.kernels.multi directly.",
+                stacklevel=2,
+            )
+            in_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, (fb, yb, kb)
+            )
+
+            def scan_one(f, y, k):
+                # the bound field carries its own control path; the
+                # separate `path` arg is only used by the fused precompute
+                return sdeint(f.f, f.g, y, times, key=k, dt=dt,
+                              method=method)
+
+            return (
+                jax.vmap(scan_one, in_axes=in_axes)(field_b, y0_b, key_b),
+                True,
+            )
+
+        paths = None
+        shared_path = path_b
+        if any(jax.tree_util.tree_leaves(pb)):
+            paths = [_slice_member(path_b, pb, i) for i in range(K)]
+            shared_path = paths[0]
+        y0s = y0_b if yb else jnp.broadcast_to(
+            y0_b, (K,) + y0_b.shape)
+        keys = [key_b[i] if kb else key_b for i in range(K)]
+        ys = packed_solve(members, shared_path, times, y0s, keys, dt=dt,
+                          stream_dtype=stream_dtype, paths=paths)
+        return ys, True
+
+    return core(field, path, y0, key)
 
 
 def fused_srk_solve_packed(fields, path, times, y0s, keys, dt=None,
