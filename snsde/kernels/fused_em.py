@@ -191,7 +191,7 @@ def _fwd_input_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["wy", "a"]
     if cfg["drift"] == "emb":
-        names += ["we1", "we2", "be"]
+        names += ["we1", "be"]
     names += [f"w_inner{i}" for i in range(n_inner)]
     names += [f"b_inner{i}" for i in range(n_inner)]
     names += ["wout", "bo", "theta"]
@@ -227,11 +227,11 @@ def _drift_forward(cfg, n_inner, r, y, save=False):
     else:
         yy = _dot(y, r["wy"][:], mm) + \
             r["a"]
-        z1 = (
-            _dot(yy, r["we1"][:], mm)
-            + _dot(xh_blk, r["we2"][:], mm)
-            + r["be"][:]
-        )
+        # xh @ we2 is y-independent, so it is HOISTED out of the kernel's
+        # sequential step loop: the 'xh' stream already carries xh @ we2,
+        # computed by the solve as one large MXU-efficient matmul (same
+        # summation order as the former in-kernel version)
+        z1 = _dot(yy, r["we1"][:], mm) + xh_blk + r["be"][:]
     h = jnp.maximum(z1, 0.0)
     h_list = [h]
     z_list = []
@@ -370,9 +370,11 @@ def _drift_bwd(cfg, n_inner, r, y, aux, df, o):
     else:                            # emb
         o["dbe"][0] += jnp.sum(dz1, axis=0, keepdims=True)
         dyy = _dot(dz1, r["we1"][:].T, mm)
-        extras["dxh"] = _dot(dz1, r["we2"][:].T, mm)
+        # the hoisted xh@we2 stream's cotangent is dz1 itself; dwe2 and
+        # the chain to the control path come from XLA autodiff of the
+        # stream precompute, outside the custom_vjp
+        extras["dxh"] = dz1
         o["dwe1"][0] += _dot(yy.T, dz1, mm)
-        o["dwe2"][0] += _dot(xh_blk.T, dz1, mm)
         o["dwy"][0] += _dot(y.T, dyy, mm)
         extras["da"] = jnp.sum(dyy, axis=0, keepdims=True)
         dy_drift = _dot(dyy, r["wy"][:].T, mm)
@@ -548,7 +550,7 @@ def _bwd_output_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["dwy", "da"]
     if cfg["drift"] == "emb":
-        names += ["dwe1", "dwe2", "dbe"]
+        names += ["dwe1", "dbe"]
     names += [f"dw_inner{i}" for i in range(n_inner)]
     names += [f"db_inner{i}" for i in range(n_inner)]
     names += ["dwout", "dbo", "dtheta"]
@@ -723,7 +725,6 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
         dparams["wy"] = jnp.sum(out["dwy"], axis=0)
     if cfg["drift"] == "emb":
         dparams["we1"] = jnp.sum(out["dwe1"], axis=0)
-        dparams["we2"] = jnp.sum(out["dwe2"], axis=0)
         dparams["be"] = jnp.sum(out["dbe"], axis=0)
     dparams["w_inner"] = tuple(
         jnp.sum(out[f"dw_inner{i}"], axis=0) for i in range(n_inner)
@@ -983,14 +984,21 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # --- drift precompute ---
     if cfg["drift"] in ("xt", "emb"):
         if xh_override is not None:
-            # caller-supplied embedded control stream [M, B, H_total]
-            # (lane-packed multi-model solves with PER-MEMBER control
-            # paths precompute each member's Xh and concatenate)
+            # caller-supplied embedded control stream [M, B, H_total],
+            # PRE-we2 (lane-packed multi-model solves with PER-MEMBER
+            # control paths precompute each member's Xh and concatenate;
+            # the packed field's block-diagonal we2 is applied below)
             Xh = xh_override
         else:
             Xg = path.evaluate_grid(grid[:-1])           # [M, B, C]
             Xh = _pdot(Xg, field.initial_network.weight) \
                 + field.initial_network.bias
+        if cfg["drift"] == "emb":
+            # HOIST: xh @ we2 is y-independent, so it leaves the kernel's
+            # sequential step loop and runs here as ONE [M*B, H] matmul at
+            # full MXU efficiency; dwe2 and the control-path chain come
+            # from XLA autodiff of this line (outside the custom_vjp)
+            Xh = _pdot(Xh, field.emb.weight[H:])
         streams["xh"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
     if cfg["drift"] != "xt":
         w_in = field.linear_in.weight                    # [(H+2)|H, HH]
@@ -1006,7 +1014,6 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         streams["a"] = _pad_to(a, Hp, 1)[:, None, :]
     if cfg["drift"] == "emb":
         params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)
-        params["we2"] = _pad_to(_pad_to(field.emb.weight[H:], Hp, 0), Hp, 1)
         params["be"] = _pad_to(field.emb.bias, Hp, 0)[None]
 
     params["w_inner"] = tuple(
@@ -1039,7 +1046,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         # in-kernel per-step cast of [128,128] weights costs more VPU time
         # than the MXU saves (measured). Biases/theta stay f32 (added
         # after f32 accumulation); _dot's astype on bf16 input is elided.
-        for k_ in ("wy", "we1", "we2", "wout", "wn1", "wn2"):
+        for k_ in ("wy", "we1", "wout", "wn1", "wn2"):
             if k_ in params:
                 params[k_] = params[k_].astype(jnp.bfloat16)
         params["w_inner"] = tuple(

@@ -75,7 +75,7 @@ def _srk_input_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["wy", "a0", "a1"]
     if cfg["drift"] == "emb":
-        names += ["we1", "we2", "be"]
+        names += ["we1", "be"]
     names += [f"w_inner{i}" for i in range(n_inner)]
     names += [f"b_inner{i}" for i in range(n_inner)]
     names += ["wout", "bo", "theta"]
@@ -96,7 +96,7 @@ def _srk_bwd_output_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["dwy", "da0", "da1"]
     if cfg["drift"] == "emb":
-        names += ["dwe1", "dwe2", "dbe"]
+        names += ["dwe1", "dbe"]
     names += [f"dw_inner{i}" for i in range(n_inner)]
     names += [f"db_inner{i}" for i in range(n_inner)]
     names += ["dwout", "dbo", "dtheta"]
@@ -487,7 +487,6 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
         dparams["wy"] = jnp.sum(out["dwy"], axis=0)
     if cfg["drift"] == "emb":
         dparams["we1"] = jnp.sum(out["dwe1"], axis=0)
-        dparams["we2"] = jnp.sum(out["dwe2"], axis=0)
         dparams["be"] = jnp.sum(out["dbe"], axis=0)
     dparams["w_inner"] = tuple(
         jnp.sum(out[f"dw_inner{i}"], axis=0) for i in range(n_inner)
@@ -682,12 +681,17 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
         for i, tv in enumerate(td):
             if xh_override is not None:
                 # per-stage caller-supplied embedded control streams
-                # [M, B, H_total] (lane packing with per-member paths)
+                # [M, B, H_total], PRE-we2 (lane packing with per-member
+                # paths; the packed block-diagonal we2 is applied below)
                 Xh = xh_override[i]
             else:
                 Xg = path.evaluate_grid(tv)              # [M, B, C]
                 Xh = (_pdot(Xg, field.initial_network.weight)
                       + field.initial_network.bias)
+            if cfg["drift"] == "emb":
+                # HOIST (see fused_em_solve): the y-independent xh @ we2
+                # leaves the kernel's step loop; dwe2 via XLA autodiff
+                Xh = _pdot(Xh, field.emb.weight[H:])
             streams[f"xh{i}"] = _pad_to(Xh, Hp, 2).astype(stream_dtype)
     if cfg["drift"] != "xt":
         w_in = field.linear_in.weight
@@ -708,7 +712,6 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
             streams[f"a{i}"] = _pad_to(a, Hp, 1)[:, None, :]
     if cfg["drift"] == "emb":
         params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)
-        params["we2"] = _pad_to(_pad_to(field.emb.weight[H:], Hp, 0), Hp, 1)
         params["be"] = _pad_to(field.emb.bias, Hp, 0)[None]
 
     params["w_inner"] = tuple(
