@@ -143,8 +143,13 @@ _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 
 
 def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
-            h_true: int = 0, traj_bf16: bool = False):
+            h_true: int = 0, traj_bf16: bool = False, merged: bool = False):
     drift = _DRIFT_BY_IO[io]
+    if merged and drift == "emb":
+        # SNSDE_FUSED_MERGE: wy@we1 folded into one effective drift-input
+        # matrix outside the kernel — z1 = y@(wy@we1) + (a@we1 + be) + xh2,
+        # one in-kernel matmul instead of two (see fused_em_solve)
+        drift = "embm"
     geometric = io in (5, 6)
     if no in _PRECOMP_NO:
         noise = "precomp"
@@ -186,7 +191,7 @@ def _flatten_params(params):
 
 def _fwd_input_names(cfg, n_inner):
     names = ["y0"]
-    if cfg["drift"] in ("xt", "emb"):
+    if cfg["drift"] in ("xt", "emb", "embm"):
         names.append("xh")
     if cfg["drift"] != "xt":
         names += ["wy", "a"]
@@ -224,6 +229,10 @@ def _drift_forward(cfg, n_inner, r, y, save=False):
     elif drift == "yy":
         z1 = _dot(y, r["wy"][:], mm) + \
             r["a"]
+    elif drift == "embm":
+        # merged emb: wy carries wy@we1, 'a' carries a@we1 + be, 'xh'
+        # carries xh@we2 — the whole drift input is one matmul
+        z1 = _dot(y, r["wy"][:], mm) + r["a"] + xh_blk
     else:
         yy = _dot(y, r["wy"][:], mm) + \
             r["a"]
@@ -366,6 +375,14 @@ def _drift_bwd(cfg, n_inner, r, y, aux, df, o):
     elif drift == "yy":
         o["dwy"][0] += _dot(y.T, dz1, mm)
         extras["da"] = jnp.sum(dz1, axis=0, keepdims=True)
+        dy_drift = _dot(dz1, r["wy"][:].T, mm)
+    elif drift == "embm":
+        # merged emb: dwy accumulates against the EFFECTIVE wy@we1 matrix;
+        # the chain back to wy/we1/a/be runs through XLA autodiff of the
+        # outside merge (fused_em_solve)
+        o["dwy"][0] += _dot(y.T, dz1, mm)
+        extras["da"] = jnp.sum(dz1, axis=0, keepdims=True)
+        extras["dxh"] = dz1
         dy_drift = _dot(dz1, r["wy"][:].T, mm)
     else:                            # emb
         o["dbe"][0] += jnp.sum(dz1, axis=0, keepdims=True)
@@ -545,7 +562,7 @@ def _fused_em_forward(params, streams, dw, dts, y0, *, cfg, n_inner,
 
 def _bwd_output_names(cfg, n_inner):
     names = []
-    if cfg["drift"] in ("xt", "emb"):
+    if cfg["drift"] in ("xt", "emb", "embm"):
         names.append("dxh")
     if cfg["drift"] != "xt":
         names += ["dwy", "da"]
@@ -943,7 +960,12 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     rng_mode = (os.environ.get("SNSDE_FUSED_RNG", "0") == "1"
                 and not _interpret() and dW_override is None)
     traj_bf16 = stream_dtype == jnp.bfloat16
-    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16)
+    # SNSDE_FUSED_MERGE=1: fold wy@we1 (and a@we1 + be) into effective
+    # params outside the kernel — one drift-input matmul per step instead
+    # of two. f32 reassociation deviates ~1e-7/step from the two-matmul
+    # form (same law); off by default pending a measured TPU win.
+    merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
+    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16, merged)
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
@@ -982,7 +1004,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     params = {"theta": th}
 
     # --- drift precompute ---
-    if cfg["drift"] in ("xt", "emb"):
+    if cfg["drift"] in ("xt", "emb", "embm"):
         if xh_override is not None:
             # caller-supplied embedded control stream [M, B, H_total],
             # PRE-we2 (lane-packed multi-model solves with PER-MEMBER
@@ -993,7 +1015,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
             Xg = path.evaluate_grid(grid[:-1])           # [M, B, C]
             Xh = _pdot(Xg, field.initial_network.weight) \
                 + field.initial_network.bias
-        if cfg["drift"] == "emb":
+        if cfg["drift"] in ("emb", "embm"):
             # HOIST: xh @ we2 is y-independent, so it leaves the kernel's
             # sequential step loop and runs here as ONE [M*B, H] matmul at
             # full MXU efficiency; dwe2 and the control-path chain come
@@ -1010,6 +1032,12 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
             Wy = w_in
             a = jnp.broadcast_to(field.linear_in.bias,
                                  (M, w_in.shape[1]))
+        if cfg["drift"] == "embm":
+            # MERGE: (y@wy + a)@we1 + be == y@(wy@we1) + (a@we1 + be);
+            # grads to wy/we1/a/be flow through these lines via XLA
+            we1 = field.emb.weight[:H]
+            Wy = _pdot(Wy, we1)
+            a = _pdot(a, we1) + field.emb.bias
         params["wy"] = _pad_to(_pad_to(Wy, Hp, 0), Hp, 1)
         streams["a"] = _pad_to(a, Hp, 1)[:, None, :]
     if cfg["drift"] == "emb":

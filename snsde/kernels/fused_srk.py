@@ -70,7 +70,7 @@ _NOISE_TIME = (0, 1, 2, 1)
 
 def _srk_input_names(cfg, n_inner):
     names = ["y0"]
-    if cfg["drift"] in ("xt", "emb"):
+    if cfg["drift"] in ("xt", "emb", "embm"):
         names += ["xh0", "xh1"]
     if cfg["drift"] != "xt":
         names += ["wy", "a0", "a1"]
@@ -91,7 +91,7 @@ def _srk_input_names(cfg, n_inner):
 
 def _srk_bwd_output_names(cfg, n_inner):
     names = []
-    if cfg["drift"] in ("xt", "emb"):
+    if cfg["drift"] in ("xt", "emb", "embm"):
         names += ["dxh0", "dxh1"]
     if cfg["drift"] != "xt":
         names += ["dwy", "da0", "da1"]
@@ -644,7 +644,8 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     no = field.noise_option
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
-    cfg_key = (io, no, mm_bf16, False, H, traj_bf16)
+    merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
+    cfg_key = (io, no, mm_bf16, False, H, traj_bf16, merged)
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
@@ -677,7 +678,7 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     params = {"theta": th}
 
     # --- drift precompute per stage time ---
-    if cfg["drift"] in ("xt", "emb"):
+    if cfg["drift"] in ("xt", "emb", "embm"):
         for i, tv in enumerate(td):
             if xh_override is not None:
                 # per-stage caller-supplied embedded control streams
@@ -688,7 +689,7 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
                 Xg = path.evaluate_grid(tv)              # [M, B, C]
                 Xh = (_pdot(Xg, field.initial_network.weight)
                       + field.initial_network.bias)
-            if cfg["drift"] == "emb":
+            if cfg["drift"] in ("emb", "embm"):
                 # HOIST (see fused_em_solve): the y-independent xh @ we2
                 # leaves the kernel's step loop; dwe2 via XLA autodiff
                 Xh = _pdot(Xh, field.emb.weight[H:])
@@ -700,6 +701,10 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
             Wy = w_in[2:]
         else:
             Wy = w_in
+        we1 = field.emb.weight[:H] if cfg["drift"] == "embm" else None
+        if we1 is not None:
+            # MERGE (see fused_em_solve): wy@we1 / a@we1 + be folded here
+            Wy = _pdot(Wy, we1)
         params["wy"] = _pad_to(_pad_to(Wy, Hp, 0), Hp, 1)
         for i, tv in enumerate(td):
             if time_emb:
@@ -709,6 +714,8 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
             else:
                 a = jnp.broadcast_to(field.linear_in.bias,
                                      (M, w_in.shape[1]))
+            if we1 is not None:
+                a = _pdot(a, we1) + field.emb.bias
             streams[f"a{i}"] = _pad_to(a, Hp, 1)[:, None, :]
     if cfg["drift"] == "emb":
         params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)

@@ -131,6 +131,33 @@ def test_fused_grid_parity_wide_hidden_hidden(setting, io, no, hh):
     _parity(path, times, y0, B, H, field)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("io,no", [(2, 16), (4, 17), (6, 17), (4, 19)])
+def test_fused_merge_mode_parity(setting, monkeypatch, io, no):
+    """SNSDE_FUSED_MERGE=1 folds wy@we1 (and a@we1 + be) into effective
+    params outside the kernel — one drift-input matmul per step. The fold
+    reassociates f32 matmuls, so parity vs scan is approximate (~1e-7 per
+    step on CPU) rather than bit-level; _parity's tolerances absorb it."""
+    monkeypatch.setenv("SNSDE_FUSED_MERGE", "1")
+    path, times, y0, (B, C, H) = setting
+    field = DiffusionField.create(
+        jax.random.fold_in(jax.random.PRNGKey(5), io * 20 + no),
+        C, H, H, 1, input_option=io, noise_option=no,
+    )
+    _parity(path, times, y0, B, H, field)
+
+    # the SRK kernel shares the merged drift branch
+    from snsde.kernels.fused_srk import fused_srk_solve
+
+    fb = field.bind(path)
+    dt = resolve_dt(times)
+    k = jax.random.PRNGKey(7)
+    ys_f = fused_srk_solve(fb, path, times, y0, k, dt=dt)
+    ys_s = sdeint(fb.f, fb.g, y0, times, key=k, dt=dt, method="srk")
+    np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_s),
+                               atol=2e-5)
+
+
 def test_supports_fused_full_grid():
     from snsde.kernels.fused_em import supports_fused
 
