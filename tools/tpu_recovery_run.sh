@@ -45,4 +45,12 @@ SNSDE_BENCH_METHOD=srk SNSDE_FUSED_MERGE=1 timeout 2400 python bench.py \
     > /tmp/tpu_recovery/bench_srk_merge.log 2>&1
 echo "$(date) bench srk merge: $(tail -1 /tmp/tpu_recovery/bench_srk_merge.log)"
 
+# 6. unroll re-A/B: the old U=4 optimum predates the hoist/merge (less
+# per-step work may shift the sweet spot)
+for U in 8 16; do
+    SNSDE_FUSED_UNROLL=$U SNSDE_FUSED_MERGE=1 timeout 2400 python bench.py \
+        > /tmp/tpu_recovery/bench_merge_u$U.log 2>&1
+    echo "$(date) bench merge U=$U: $(tail -1 /tmp/tpu_recovery/bench_merge_u$U.log)"
+done
+
 echo "$(date) ALL DONE"
