@@ -799,18 +799,20 @@ def _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
                              unroll=unroll)
 
 
-def _pick_block(B, Hp=LANE):
+def _pick_block(B, Hp=LANE, cap_rows=1024):
     # 1024 rows/block wins at the headline shape (47.2M vs 43.3M at 512,
     # A/B'd on v5e with the full-grid kernel): fewer blocks means fewer
     # per-block weight-grad accumulators and reductions in the backward,
     # which now dominate the smaller-block advantage the forward alone
-    # shows. Capped at 1024x128 f32 elements per (block, lane-padded H)
-    # tile so wider hidden sizes shrink the block instead of blowing
-    # VMEM double-buffering (SNSDE_FUSED_BLOCK overrides for A/Bs).
+    # shows. Capped at cap_rows x 128 f32 elements per (block,
+    # lane-padded H) tile so wider hidden sizes shrink the block instead
+    # of blowing VMEM double-buffering; the SRK kernel streams ~2x the
+    # per-iteration VMEM and passes cap_rows=512 (its measured optimum:
+    # 28.1M vs 26.9M at 256). SNSDE_FUSED_BLOCK overrides for A/Bs.
     env = os.environ.get("SNSDE_FUSED_BLOCK")
     if env and B % int(env) == 0:
         return int(env)
-    cap = 1024 * LANE
+    cap = cap_rows * LANE
     best = None
     for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
         if B % cand == 0:

@@ -518,25 +518,14 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-def _pick_block(B, Hp=128):
+def _pick_block(B, Hp=LANE):
     # SRK streams 2x the EM kernel's per-iteration VMEM (xh0/xh1, dw/i10,
-    # three gk rows), so its sweet spot sits one notch below EM's: 512-row
-    # blocks measured 28.1M vs 26.9M at 256 on v5e (fewer per-block
-    # weight-grad accumulators in the backward). Capped at 512x128 f32
-    # elements per (block, lane-padded H) tile so wider hidden sizes
-    # shrink the block instead of blowing VMEM double-buffering
-    # (SNSDE_FUSED_BLOCK overrides for A/Bs).
-    env = os.environ.get("SNSDE_FUSED_BLOCK")
-    if env and B % int(env) == 0:
-        return int(env)
-    cap = 512 * 128
-    best = None
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if B % cand == 0:
-            best = best or cand
-            if cand * Hp <= cap:
-                return cand
-    return best or B
+    # three gk rows), so its sweet spot sits one notch below EM's:
+    # cap_rows=512 (512-row blocks measured 28.1M vs 26.9M at 256 on
+    # v5e). Shared block-picking algorithm lives in fused_em._pick_block.
+    from .fused_em import _pick_block as _pick
+
+    return _pick(B, Hp, cap_rows=512)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -27,7 +27,6 @@ the packed kernel gradients.
 
 from __future__ import annotations
 
-import os
 import types
 import warnings
 
@@ -309,16 +308,25 @@ def route_vmapped(kind, field, path, times, y0, key, dt, stream_dtype):
     def rule(axis_size, in_batched, field_b, path_b, y0_b, key_b):
         K = axis_size
         fb, pb, yb, kb = in_batched
-        members = [_slice_member(field_b, fb, i) for i in range(K)]
-        H = members[0].linear_out.out_features
-        HH = members[0].linear_out.in_features
-        if K * max(H, HH) > MAX_PACKED_LANES:
+        # static widths are readable without slicing members out
+        H = field_b.linear_out.out_features
+        HH = field_b.linear_out.in_features
+        from .fused_em import is_batched
+
+        nested = is_batched(field_b, path_b, y0_b, key_b)
+        if nested or K * max(H, HH) > MAX_PACKED_LANES:
+            # Two reasons to keep the (warned) vmapped scan path:
+            # (a) an OUTER vmap is still tracing (nested vmap) — the
+            # packed kernel's caller plumbing cannot run under a second
+            # batch trace, but a vmapped scan lifts through it cleanly;
+            # (b) the axis is too wide to lane-pack.
             warnings.warn(
-                f"vmapped fused {kind} solve: packed width {K}*"
-                f"{max(H, HH)} exceeds MAX_PACKED_LANES="
-                f"{MAX_PACKED_LANES}; falling back to the ~5x slower "
-                "scan path. Split the vmap axis or use "
-                "snsde.kernels.multi directly.",
+                (f"nested vmap over a fused {kind} solve" if nested else
+                 f"vmapped fused {kind} solve: packed width {K}*"
+                 f"{max(H, HH)} exceeds MAX_PACKED_LANES="
+                 f"{MAX_PACKED_LANES}")
+                + "; falling back to the ~5x slower scan path. Split the "
+                "vmap axis or use snsde.kernels.multi directly.",
                 stacklevel=2,
             )
             in_axes = jax.tree_util.tree_map(
@@ -336,6 +344,7 @@ def route_vmapped(kind, field, path, times, y0, key, dt, stream_dtype):
                 True,
             )
 
+        members = [_slice_member(field_b, fb, i) for i in range(K)]
         paths = None
         shared_path = path_b
         if any(jax.tree_util.tree_leaves(pb)):
