@@ -163,7 +163,17 @@ class HarnessConfig:
     use_intensity: bool = True
     method: str = "euler"
     seed: int = 0
+    # seed for the dataset draw + split; defaults to `seed`. run_all's
+    # repeats pin this to 0 so repeats share data/split and differ only in
+    # init + training noise — the reference's semantics (its repeats rerun
+    # on the same preprocessed archive: sepsis-sde.py:70-83), and what
+    # makes solo and pack_repeats cells statistically comparable.
+    data_seed: Optional[int] = None
     results_dir: Optional[str] = None
+
+    @property
+    def dseed(self) -> int:
+        return self.seed if self.data_seed is None else self.data_seed
 
 
 def _save_results(results_dir: str, name: str, result: FitResult, extra=None):
@@ -196,16 +206,16 @@ def run_sepsis(cfg: HarnessConfig = HarnessConfig(), n: int = 4096,
                data_fn: Callable = synthetic_sepsis,
                max_epochs: Optional[int] = None) -> FitResult:
     """Sepsis classification: binary, AUROC-selected, static->z0."""
-    X, static, y, lengths, t = data_fn(n=n, seed=cfg.seed)
+    X, static, y, lengths, t = data_fn(n=n, seed=cfg.dseed)
     data = preprocess_classification(
-        X, y, lengths, use_intensity=cfg.use_intensity, seed=cfg.seed,
+        X, y, lengths, use_intensity=cfg.use_intensity, seed=cfg.dseed,
         times=np.arange(X.shape[1], dtype=np.float32),
     )
     tr, va, te = data["train"], data["val"], data["test"]
     split_static = {
-        "train": static[_split_indices(y, cfg.seed)[0]],
-        "val": static[_split_indices(y, cfg.seed)[1]],
-        "test": static[_split_indices(y, cfg.seed)[2]],
+        "train": static[_split_indices(y, cfg.dseed)[0]],
+        "val": static[_split_indices(y, cfg.dseed)[1]],
+        "test": static[_split_indices(y, cfg.dseed)[2]],
     }
     tr["static"], va["static"], te["static"] = (
         split_static["train"], split_static["val"], split_static["test"]
@@ -246,9 +256,9 @@ def run_speech(cfg: HarnessConfig = HarnessConfig(), n: int = 2048,
                data_fn: Callable = synthetic_speech,
                max_epochs: Optional[int] = None) -> FitResult:
     """Speech Commands classification: 10-class, accuracy-selected."""
-    X, y, lengths, t = data_fn(n=n, seed=cfg.seed)
+    X, y, lengths, t = data_fn(n=n, seed=cfg.dseed)
     data = preprocess_classification(
-        X, y, lengths, use_intensity=False, seed=cfg.seed,
+        X, y, lengths, use_intensity=False, seed=cfg.dseed,
         times=np.arange(X.shape[1], dtype=np.float32),
     )
     tr, va, te = data["train"], data["val"], data["test"]
@@ -296,13 +306,13 @@ def run_sepsis_ensemble(cfg: HarnessConfig = HarnessConfig(),
     from ..models.ensemble import InitialValueSeedEnsemble
     from ..train.ensemble_loop import fit_classifier_ensemble
 
-    X, static, y, lengths, t = data_fn(n=n, seed=cfg.seed)
+    X, static, y, lengths, t = data_fn(n=n, seed=cfg.dseed)
     data = preprocess_classification(
-        X, y, lengths, use_intensity=cfg.use_intensity, seed=cfg.seed,
+        X, y, lengths, use_intensity=cfg.use_intensity, seed=cfg.dseed,
         times=np.arange(X.shape[1], dtype=np.float32),
     )
     tr, va, te = data["train"], data["val"], data["test"]
-    sidx = _split_indices(y, cfg.seed)
+    sidx = _split_indices(y, cfg.dseed)
     tr["static"], va["static"], te["static"] = (
         static[sidx[0]], static[sidx[1]], static[sidx[2]]
     )
@@ -392,6 +402,11 @@ def run_all(task: str = "sepsis", models=("staticsde", "naivesde",
                             hidden_hidden_channels=hidden,
                             num_hidden_layers=num_layers,
                             use_intensity=use_intensity, seed=rep,
+                            # repeats share the data draw + split (the
+                            # reference reruns on one fixed archive);
+                            # rep varies init + training noise only —
+                            # keeps solo comparable with pack_repeats
+                            data_seed=0,
                             max_epochs=max_epochs, results_dir=None,
                         )
                         res = runner(cfg, n=n)

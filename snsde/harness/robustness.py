@@ -324,6 +324,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                     and _SDE_GRID_RE_SWEEP.match(model_name)):
                 seeds = [s for s, _ in pending]
                 t0 = time.time()
+                written = set()
                 try:
                     datas = [_data(rate, s) for s in seeds]
                     splits_list = [stratified_split(y, seed=s)
@@ -359,9 +360,15 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                             "packed": len(seeds),
                             "method": model.method,
                         }, out_path)
+                        written.add(out_path)
                     continue
                 except Exception as e:  # blanket skip, as model_run.py
+                    # only the cells whose record was NOT already written
+                    # become error records — a failure in member k's
+                    # post-training dump must not clobber members < k
                     for seed, out_path in pending:
+                        if out_path in written:
+                            continue
                         _write({
                             "dataset": dataset_name, "missing_rate": rate,
                             "model": model_name, "seed": seed,
@@ -483,10 +490,11 @@ class ISTSSeedEnsembleSDE(Module):
             s.initial_network(paths[k].evaluate(t0))
             for k, s in enumerate(streams)
         ])                                                # [K, B, H]
-        keys = list(jax.random.split(key, K + 1))
+        # one key per member; the packed ISTS head has no dropout, so no
+        # extra key is drawn (matches _model.py:66-80's head)
+        keys = list(jax.random.split(key, K))
         zs = packed_solve([s.func for s in streams], paths[0], times, y0s,
-                          keys[:K], method=self.method, paths=paths)
-        kdrop = keys[K]
+                          keys, method=self.method, paths=paths)
         logits_all, new_members = [], []
         for k, m in enumerate(self.members):
             z = jnp.moveaxis(zs[k], 0, 1)                 # [B, L, H]
@@ -569,7 +577,12 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
             bidx, bmask, kk = xs
             (_, (mlosses, _, new_m)), grads = vg(mm, bidx, bmask, kk,
                                                  True)
-            p, rest = partition(new_m)
+            from ..train.ensemble_loop import freeze_inactive_rest
+
+            p, _ = partition(new_m)
+            # terminated members freeze completely: masked param updates
+            # below + where-selected BN running stats
+            rest = freeze_inactive_rest(cls, K, active, mm, new_m)
             new_oss = []
             for k in range(K):
                 pk = cls.member_subtree(p, k)

@@ -194,7 +194,10 @@ def train_ists_cells_sharded(
         (m_new, opt_new), losses = jax.lax.scan(bstep, (m, opt),
                                                 (perm, bkeys))
         # freeze early-stopped cells in place (matches the sequential
-        # trainer, which simply exits their loop)
+        # trainer, which simply exits their loop); act is a SCALAR here
+        # (per-device shard (1,) indexed above), so where() preserves
+        # every leaf's shape — no () -> (1,) broadcast of scalar
+        # opt-state leaves between epochs
         sel = lambda nw, od: jnp.where(act > 0, nw, od)
         m_fin = jax.tree_util.tree_map(sel, m_new, m)
         o_fin = jax.tree_util.tree_map(sel, opt_new, opt)
@@ -285,7 +288,9 @@ def train_ists_cells_sharded(
             rngs[c].shuffle(pos)
             pad = nb * batch_size - n_tr
             if pad:
-                pos = np.concatenate([pos, pos[:pad]])
+                # np.resize wraps when pad > n_tr (tiny datasets vs large
+                # batch_size) — same guard as _eval_grid
+                pos = np.concatenate([pos, np.resize(pos, pad)])
             perm[c] = splits[c][0][pos].reshape(nb, batch_size)
         nk, bkeys = _chain(jnp.asarray(hkeys))
         m_stk, opt_stk, _ = epoch_sharded(

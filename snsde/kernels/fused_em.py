@@ -810,8 +810,19 @@ def _pick_block(B, Hp=LANE, cap_rows=1024):
     # per-iteration VMEM and passes cap_rows=512 (its measured optimum:
     # 28.1M vs 26.9M at 256). SNSDE_FUSED_BLOCK overrides for A/Bs.
     env = os.environ.get("SNSDE_FUSED_BLOCK")
-    if env and B % int(env) == 0:
-        return int(env)
+    if env:
+        try:
+            blk = int(env)
+        except ValueError:
+            blk = 0
+        if blk > 0 and B % blk == 0:
+            return blk
+        # a silently-ignored override mis-attributes A/B measurements
+        warnings.warn(
+            f"SNSDE_FUSED_BLOCK={env!r} ignored: must be a positive "
+            f"divisor of the batch size {B}; using the default block.",
+            stacklevel=2,
+        )
     cap = cap_rows * LANE
     best = None
     for cand in (1024, 512, 256, 128, 64, 32, 16, 8):

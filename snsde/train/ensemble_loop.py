@@ -37,6 +37,29 @@ from .schedule import ReduceLROnPlateau
 __all__ = ["fit_classifier_ensemble"]
 
 
+def freeze_inactive_rest(cls, K, active, old_m, new_m):
+    """Per-member where-select of the non-param leaves (BatchNorm running
+    stats) between the pre- and post-step model.
+
+    Early-stopped members must freeze ENTIRELY: the solo trainers break
+    out of the epoch loop, but a packed ensemble keeps running the shared
+    train-mode forward for the still-active members, so an inactive
+    member's running stats would keep drifting if taken from `new_m`
+    unconditionally (its masked param updates alone don't stop that).
+    Returns the `rest` tree to pass to combine()."""
+    _, rest_new = partition(new_m)
+    _, rest_old = partition(old_m)
+    rest = rest_new
+    for k in range(K):
+        rk = jax.tree_util.tree_map(
+            lambda nw, od: jnp.where(active[k] > 0, nw, od),
+            cls.member_subtree(rest_new, k),
+            cls.member_subtree(rest_old, k),
+        )
+        rest = cls.replace_member(rest, k, rk)
+    return rest
+
+
 def fit_classifier_ensemble(
     model,
     apply_fn: Callable,
@@ -144,13 +167,16 @@ def fit_classifier_ensemble(
             batch = {k2: v2[idx] for k2, v2 in dtrain.items()}
             batch["_mask"] = mask
             (_, (mlosses, _, new_m)), grads = vg(mm, batch, kk, True)
-            p, rest = partition(new_m)
+            p, _ = partition(new_m)
+            # terminated members freeze completely (best snapshot already
+            # taken): masked updates below for params, where-select for
+            # the BN running stats
+            rest = freeze_inactive_rest(cls, K, active, mm, new_m)
             new_oss = []
             for k in range(K):
                 pk = cls.member_subtree(p, k)
                 gk = _hook(cls.member_subtree(grads, k))
                 upd, osk = tx.update(gk, oss[k], pk)
-                # terminated members freeze (best snapshot already taken)
                 upd = jax.tree_util.tree_map(
                     lambda u: u * active[k], upd)
                 p = cls.replace_member(p, k, optax.apply_updates(pk, upd))

@@ -200,3 +200,38 @@ def test_packed_sweep_members_see_their_own_data():
     w0 = np.asarray(model.members[0].fc2.weight)
     w1 = np.asarray(model.members[1].fc2.weight)
     assert not np.allclose(w0, w1)
+
+
+def test_freeze_inactive_rest_pins_bn_buffers():
+    """Early-stopped members' non-param leaves (BatchNorm running stats)
+    must freeze at their pre-step values while active members take the
+    post-step values (code-review round-3 finding: masked param updates
+    alone let inactive members' running stats keep drifting)."""
+    from snsde.nn.core import partition
+    from snsde.train.ensemble_loop import freeze_inactive_rest
+
+    K = 2
+    model = _tiny_ensemble(K=K)
+    cls = type(model)
+    # fabricate a "post-step" model with every array leaf shifted
+    new_m = jax.tree_util.tree_map(
+        lambda x: x + 1.0 if jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating) else x, model)
+    active = jnp.asarray([0.0, 1.0])          # member 0 terminated
+    rest = freeze_inactive_rest(cls, K, active, model, new_m)
+
+    _, rest_old = partition(model)
+    _, rest_new = partition(new_m)
+    frozen = cls.member_subtree(rest, 0)
+    stepped = cls.member_subtree(rest, 1)
+    old0 = cls.member_subtree(rest_old, 0)
+    new1 = cls.member_subtree(rest_new, 1)
+    n_checked = 0
+    for a, b in zip(jax.tree_util.tree_leaves(frozen),
+                    jax.tree_util.tree_leaves(old0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        n_checked += 1
+    for a, b in zip(jax.tree_util.tree_leaves(stepped),
+                    jax.tree_util.tree_leaves(new1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert n_checked > 0    # the members DO carry non-param buffers
