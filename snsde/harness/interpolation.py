@@ -257,15 +257,10 @@ def run_interpolation(cfg: InterpolationConfig = InterpolationConfig(),
 
     def _index_grid(n, bs, rng=None):
         """Shuffled (or sequential) padded index grid + sample masks."""
+        from ..train.loop import padded_index_grid
+
         idx = rng.permutation(n) if rng is not None else np.arange(n)
-        nb = max(1, -(-n // bs))
-        pad = nb * bs - n
-        smask = np.ones(nb * bs, np.float32)
-        if pad:
-            idx = np.concatenate([idx, np.resize(idx, pad)])
-            smask[-pad:] = 0.0
-        return (idx.reshape(nb, bs).astype(np.int32),
-                smask.reshape(nb, bs), nb)
+        return padded_index_grid(idx, bs)
 
     device_train = {k: jnp.asarray(v) for k, v in train.items()}
     device_test = {k: jnp.asarray(v) for k, v in test.items()}

@@ -612,20 +612,16 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
     def _grid(indices_list, rngs=None):
         """Per-member padded index grids: [K, nb, B] + [nb, B] mask (all
         members share sizes)."""
-        n = len(indices_list[0])
-        nb_ = max(1, -(-n // batch_size))
-        pad = nb_ * batch_size - n
-        mask = np.ones(nb_ * batch_size, np.float32)
-        if pad:
-            mask[-pad:] = 0.0
+        from ..train.loop import padded_index_grid
+
         perms = []
         for k, ind in enumerate(indices_list):
             ix = np.asarray(ind)
             if rngs is not None:
                 ix = rngs[k].permutation(ix)
-            if pad:
-                ix = np.concatenate([ix, np.resize(ix, pad)])
-            perms.append(ix.reshape(nb_, batch_size))
+            g, gmask, nb_ = padded_index_grid(ix, batch_size)
+            perms.append(g)
+        mask = gmask.reshape(-1)
         # [nb, K, B] so scan iterates batches; mask shared
         perm = np.stack(perms, axis=1).astype(np.int32)
         masks = np.broadcast_to(mask.reshape(nb_, 1, batch_size),

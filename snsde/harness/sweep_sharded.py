@@ -71,16 +71,14 @@ def _eval_grid(split_idx: np.ndarray, batch_size: int):
     """Natural-order batch grid with iterate_batches' wrap-around padding:
     [nb, B] rows of FULL-array indices plus the final batch's valid
     count."""
+    from ..train.loop import padded_index_grid
+
     idx = np.asarray(split_idx)
     n = idx.shape[0]
-    nb = max(1, -(-n // batch_size))
-    pad = nb * batch_size - n
-    pos = np.arange(n)
-    if pad:
-        extra = pos[:pad] if pad <= n else np.resize(pos, pad)
-        pos = np.concatenate([pos, extra])
+    pos, _, nb = padded_index_grid(np.arange(n), batch_size)
     nv_last = n - (nb - 1) * batch_size
-    return idx[pos].reshape(nb, batch_size).astype(np.int32), nv_last
+    return idx[pos.reshape(-1)].reshape(nb, batch_size).astype(np.int32), \
+        nv_last
 
 
 def train_ists_cells_sharded(
@@ -284,14 +282,11 @@ def train_ists_cells_sharded(
     for epoch in range(max_epochs):
         perm = np.empty((D, nb, batch_size), np.int32)
         for c in range(D):
-            pos = np.arange(n_tr)
-            rngs[c].shuffle(pos)
-            pad = nb * batch_size - n_tr
-            if pad:
-                # np.resize wraps when pad > n_tr (tiny datasets vs large
-                # batch_size) — same guard as _eval_grid
-                pos = np.concatenate([pos, np.resize(pos, pad)])
-            perm[c] = splits[c][0][pos].reshape(nb, batch_size)
+            from ..train.loop import padded_index_grid
+
+            pos, _, _ = padded_index_grid(rngs[c].permutation(n_tr),
+                                          batch_size)
+            perm[c] = splits[c][0][pos.reshape(-1)].reshape(nb, batch_size)
         nk, bkeys = _chain(jnp.asarray(hkeys))
         m_stk, opt_stk, _ = epoch_sharded(
             m_stk, opt_stk, seqs, coeffs, ylab, jnp.asarray(perm), bkeys,

@@ -30,7 +30,7 @@ import optax
 
 from ..nn.core import combine, filter_value_and_grad, partition
 from .loop import (TrainConfig, FitResult, bce_with_logits_per_sample,
-                   weight_regularization)
+                   padded_index_grid, weight_regularization)
 from .metrics import classification_metrics
 from .schedule import ReduceLROnPlateau
 
@@ -212,15 +212,8 @@ def fit_classifier_ensemble(
     def evaluate(m, data, key):
         ebs = cfg.eval_batch_size or cfg.batch_size
         n = next(iter(data.values())).shape[0]
-        nb = max(1, -(-n // ebs))
-        idx = np.arange(n)
-        pad = nb * ebs - n
-        mask = np.ones(nb * ebs, np.float32)
-        if pad:
-            idx = np.concatenate([idx, np.resize(idx, pad)])
-            mask[-pad:] = 0.0
-        perm = idx.reshape(nb, ebs).astype(np.int32)
-        masks = mask.reshape(nb, ebs)
+        perm, masks, nb = padded_index_grid(np.arange(n), ebs)
+        idx, mask = perm.reshape(-1), masks.reshape(-1)
         keys = jnp.stack(
             [jax.random.fold_in(key, i) for i in range(nb)]
         )
@@ -268,14 +261,8 @@ def fit_classifier_ensemble(
     t_start = time.time()
 
     for epoch in range(cfg.max_epochs):
-        idx = rng.permutation(n_train)
-        pad = nb_train * cfg.batch_size - n_train
-        mask = np.ones(nb_train * cfg.batch_size, np.float32)
-        if pad:
-            idx = np.concatenate([idx, np.resize(idx, pad)])
-            mask[-pad:] = 0.0
-        perm = idx.reshape(nb_train, cfg.batch_size).astype(np.int32)
-        masks = mask.reshape(nb_train, cfg.batch_size)
+        perm, masks, _ = padded_index_grid(rng.permutation(n_train),
+                                           cfg.batch_size)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, nb_train)
         model, opt_states, _ = epoch_step(

@@ -114,6 +114,27 @@ def weight_regularization(module, scaling: float = 0.01):
 # Batching (host side)
 # ---------------------------------------------------------------------------
 
+def padded_index_grid(idx, batch_size: int):
+    """Pad a 1-D index vector to a [nb, batch_size] grid by wrap-around
+    (np.resize covers pad > n for tiny datasets) — iterate_batches'
+    padding policy in precomputed-grid form, shared by the device-resident
+    scanned epoch/eval loops (train/ensemble_loop, harness/robustness,
+    harness/interpolation, harness/sweep_sharded).
+
+    Returns (perm [nb, B] int32, mask [nb, B] float32 with the padded
+    tail zeroed, nb)."""
+    idx = np.asarray(idx)
+    n = idx.shape[0]
+    nb = max(1, -(-n // batch_size))
+    pad = nb * batch_size - n
+    mask = np.ones(nb * batch_size, np.float32)
+    if pad:
+        idx = np.concatenate([idx, np.resize(idx, pad)])
+        mask[-pad:] = 0.0
+    return (idx.reshape(nb, batch_size).astype(np.int32),
+            mask.reshape(nb, batch_size), nb)
+
+
 def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int,
                     rng: Optional[np.random.Generator] = None,
                     pad: bool = True):
