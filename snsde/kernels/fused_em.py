@@ -143,7 +143,8 @@ _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 
 
 def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
-            h_true: int = 0, traj_bf16: bool = False, merged: bool = False):
+            h_true: int = 0, traj_bf16: bool = False, merged: bool = False,
+            coalesce: bool = False):
     drift = _DRIFT_BY_IO[io]
     if merged and drift == "emb":
         # SNSDE_FUSED_MERGE: wy@we1 folded into one effective drift-input
@@ -159,10 +160,25 @@ def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
         noise = "net1"
     else:                           # 18, 19
         noise = "net2"
+    # SNSDE_FUSED_COALESCE: stack the per-step [M,1,H] row streams into
+    # ONE [M,R,H] stream ('srow') — one block DMA per grid iteration
+    # instead of R tiny ones (the step is per-iteration latency-bound)
+    srows = None
+    if coalesce:
+        rows = []
+        if drift != "xt":
+            rows.append("a")
+        if noise == "precomp":
+            rows.append("gk")
+        elif noise in ("net1", "net2"):
+            rows.append("an1")
+        if len(rows) >= 2:
+            srows = tuple(rows)
     return {
         "drift": drift,
         "geometric": geometric,
         "noise": noise,
+        "srows": srows,
         "elem": _ELEM_BY_NO.get(no),
         "mult_y": no in _MULT_Y_NO,
         "mm_bf16": mm_bf16,
@@ -207,6 +223,9 @@ def _fwd_input_names(cfg, n_inner):
         if cfg["noise"] == "net2":
             names += ["wn2", "bn2"]
     names += (["seed"] if cfg["rng"] else ["dw"]) + ["dts"]
+    if cfg["srows"]:
+        names = [n for n in names if n not in cfg["srows"]]
+        names.insert(-1, "srow")
     return names
 
 
@@ -444,9 +463,14 @@ def _gen_dw(cfg, r, b, kf, U, block_b, Hp):
 _STEP_NAMES = ("xh", "a", "gk", "an1")
 
 
-def _slice_step(r, u):
-    """Per-step view: step-dependent streams sliced at in-block row u."""
+def _slice_step(r, u, srows=None):
+    """Per-step view: step-dependent streams sliced at in-block row u.
+    When the [M,1,H] row streams ride coalesced in 'srow', unpack them
+    back onto their canonical names."""
     ru = dict(r)
+    if srows:
+        for i, nm in enumerate(srows):
+            ru[nm] = r["srow"][u, i : i + 1]
     for nm in _STEP_NAMES:
         if nm in r:
             ru[nm] = r[nm][u]
@@ -472,7 +496,7 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
     # U solver steps per grid iteration (statically unrolled): amortizes
     # the per-iteration latency that dominates at these tiny matmul sizes.
     for u in range(U):
-        ru = _slice_step(r, u)
+        ru = _slice_step(r, u, cfg["srows"])
         f, _ = _drift_forward(cfg, n_inner, ru, y)
         graw, _, _ = _noise_forward(cfg, ru, y)
         g = jnp.tanh(s_theta * graw)
@@ -497,11 +521,20 @@ def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
                           memory_space=pltpu.VMEM)
     w = pl.BlockSpec((H, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM)
     bsp = pl.BlockSpec((1, H), lambda b, k: (0, 0), memory_space=pltpu.VMEM)
+    if cfg["srows"]:
+        R = len(cfg["srows"])
+        srow_spec = pl.BlockSpec(
+            (U, R, H),
+            (lambda b, k: (nk - 1 - k, 0, 0)) if reverse
+            else (lambda b, k: (k, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
     by_name = {
         "y0": pl.BlockSpec((block_b, H), lambda b, k: (b, 0),
                            memory_space=pltpu.VMEM),
         "yprev": s3, "gys": s3,
         "xh": s3, "a": s2, "gk": s2, "an1": s2, "dw": s3,
+        **({"srow": srow_spec} if cfg["srows"] else {}),
         "seed": pl.BlockSpec(memory_space=pltpu.SMEM),
         "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
         "theta": pl.BlockSpec((1, H), lambda b, k: (0, 0),
@@ -578,6 +611,10 @@ def _bwd_output_names(cfg, n_inner):
         if cfg["noise"] == "net2":
             names += ["dwn2", "dbn2"]
     names.append("dy0")
+    if cfg["srows"]:
+        coal = tuple("d" + n for n in cfg["srows"])
+        names = [n for n in names if n not in coal]
+        names.insert(-1, "dsrow")
     return names
 
 
@@ -592,7 +629,8 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
     nk = pl.num_programs(1)
 
     acc_names = [n for n in out_names
-                 if n not in ("dxh", "da", "dgk", "dan1", "dy0", "dtheta")]
+                 if n not in ("dxh", "da", "dgk", "dan1", "dsrow", "dy0",
+                              "dtheta")]
 
     @pl.when(k == 0)
     def _():
@@ -614,7 +652,7 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
 
     # U steps per grid iteration, reverse time within the block
     for u in range(U - 1, -1, -1):
-        ru = _slice_step(r, u)
+        ru = _slice_step(r, u, cfg["srows"])
         gbar = gbar + r["gys"][u].astype(jnp.float32)
         y = r["yprev"][u].astype(jnp.float32)   # state BEFORE this step
 
@@ -637,16 +675,19 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         dgraw = dsg * s_theta
 
         dy_diff, nex = _noise_bwd(cfg, ru, y, base, naux, dgraw, o)
-        if "dgk" in nex:
-            o["dgk"][0, u] = nex["dgk"]
-        if "dan1" in nex:
-            o["dan1"][0, u] = nex["dan1"]
-
         dy_drift, dex = _drift_bwd(cfg, n_inner, ru, y,
                                    (z1, h_list, z_list, z3_lin, ty, f_,
                                     yy, xh_blk), df, o)
-        if "da" in dex:
-            o["da"][0, u] = dex["da"]
+        srows = cfg["srows"] or ()
+        for nm, val in (("dgk", nex.get("dgk")),
+                        ("dan1", nex.get("dan1")),
+                        ("da", dex.get("da"))):
+            if val is None:
+                continue
+            if nm[1:] in srows:
+                o["dsrow"][0, u, srows.index(nm[1:])] = val[0]
+            else:
+                o[nm][0, u] = val
         if "dxh" in dex:
             o["dxh"][u] = dex["dxh"].astype(o["dxh"].dtype)
 
@@ -699,6 +740,13 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
     }
     shape_by["dgk"] = shape_by["da"]
     shape_by["dan1"] = shape_by["da"]
+    if cfg["srows"]:
+        R = len(cfg["srows"])
+        shape_by["dsrow"] = (
+            (nb, M, R, H), jnp.float32,
+            pl.BlockSpec((1, U, R, H), lambda b, k: (b, nk - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
     w_out = ((nb, H, H), jnp.float32,
              pl.BlockSpec((1, H, H), lambda b, k: (b, 0, 0),
                           memory_space=pltpu.VMEM))
@@ -766,6 +814,8 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
         dstreams["gk"] = jnp.sum(out["dgk"], axis=0)
     if "dan1" in out:
         dstreams["an1"] = jnp.sum(out["dan1"], axis=0)
+    if "dsrow" in out:
+        dstreams["srow"] = jnp.sum(out["dsrow"], axis=0)
 
     dy0 = out["dy0"].reshape(-1, out["dy0"].shape[-1])
     return dparams, dstreams, dy0
@@ -978,7 +1028,8 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # of two. f32 reassociation deviates ~1e-7/step from the two-matmul
     # form (same law); off by default pending a measured TPU win.
     merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
-    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16, merged)
+    coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
+    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16, merged, coalesce)
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
@@ -1081,6 +1132,13 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
             n2 = field.noise_y[1]
             params["wn2"] = _pad_to(_pad_to(n2.weight, Hp, 0), Hp, 1)
             params["bn2"] = _pad_to(n2.bias, Hp, 0)[None]
+
+    if cfg["srows"]:
+        # SNSDE_FUSED_COALESCE: one [M, R, Hp] stream for the per-step
+        # rows — one block DMA per grid iteration instead of R; the VJP of
+        # this concatenate splits the kernel's dsrow cotangent back out
+        streams["srow"] = jnp.concatenate(
+            [streams.pop(n) for n in cfg["srows"]], axis=1)
 
     if mm_bf16:
         # Pre-cast weight matrices to bf16 once, OUTSIDE the kernel — the

@@ -158,6 +158,22 @@ def test_fused_merge_mode_parity(setting, monkeypatch, io, no):
                                atol=2e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("io,no", [(4, 17), (4, 19), (0, 2)])
+def test_fused_coalesce_mode_parity(setting, monkeypatch, io, no):
+    """SNSDE_FUSED_COALESCE=1 stacks the per-step [M,1,H] row streams
+    (a/gk/an1) into one [M,R,H] 'srow' stream — one block DMA per grid
+    iteration. Bit-compatible (pure layout change): the kernel unpacks the
+    same rows; (0,2) has a single row and must bypass coalescing."""
+    monkeypatch.setenv("SNSDE_FUSED_COALESCE", "1")
+    path, times, y0, (B, C, H) = setting
+    field = DiffusionField.create(
+        jax.random.fold_in(jax.random.PRNGKey(6), io * 20 + no),
+        C, H, H, 1, input_option=io, noise_option=no,
+    )
+    _parity(path, times, y0, B, H, field)
+
+
 def test_supports_fused_full_grid():
     from snsde.kernels.fused_em import supports_fused
 

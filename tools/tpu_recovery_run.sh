@@ -62,4 +62,10 @@ for U in 8 16; do
         env SNSDE_FUSED_UNROLL=$U SNSDE_FUSED_MERGE=1 python bench.py
 done
 
+# 7. coalesced per-step row streams (one srow DMA per iteration)
+run "bench coalesce" /tmp/tpu_recovery/bench_coalesce.log \
+    env SNSDE_FUSED_COALESCE=1 python bench.py
+run "bench merge+coalesce" /tmp/tpu_recovery/bench_mc.log \
+    env SNSDE_FUSED_MERGE=1 SNSDE_FUSED_COALESCE=1 python bench.py
+
 echo "$(date) ALL DONE"
