@@ -144,7 +144,7 @@ _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 
 def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
             h_true: int = 0, traj_bf16: bool = False, merged: bool = False,
-            coalesce: bool = False):
+            coalesce: bool = False, srk: bool = False):
     drift = _DRIFT_BY_IO[io]
     if merged and drift == "emb":
         # SNSDE_FUSED_MERGE: wy@we1 folded into one effective drift-input
@@ -166,12 +166,22 @@ def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
     srows = None
     if coalesce:
         rows = []
-        if drift != "xt":
-            rows.append("a")
-        if noise == "precomp":
-            rows.append("gk")
-        elif noise in ("net1", "net2"):
-            rows.append("an1")
+        if srk:
+            # the SRK kernel streams per-STAGE rows (2 drift-bias + 3
+            # noise-stage rows) — coalescing pays 5x there
+            if drift != "xt":
+                rows += ["a0", "a1"]
+            if noise == "precomp":
+                rows += ["gk0", "gk1", "gk2"]
+            elif noise in ("net1", "net2"):
+                rows += ["an1_0", "an1_1", "an1_2"]
+        else:
+            if drift != "xt":
+                rows.append("a")
+            if noise == "precomp":
+                rows.append("gk")
+            elif noise in ("net1", "net2"):
+                rows.append("an1")
         if len(rows) >= 2:
             srows = tuple(rows)
     return {

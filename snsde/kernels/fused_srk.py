@@ -86,6 +86,9 @@ def _srk_input_names(cfg, n_inner):
         if cfg["noise"] == "net2":
             names += ["wn2", "bn2"]
     names += ["dw", "i10", "dts"]
+    if cfg["srows"]:
+        names = [n for n in names if n not in cfg["srows"]]
+        names.insert(names.index("dw"), "srow")
     return names
 
 
@@ -107,6 +110,10 @@ def _srk_bwd_output_names(cfg, n_inner):
         if cfg["noise"] == "net2":
             names += ["dwn2", "dbn2"]
     names.append("dy0")
+    if cfg["srows"]:
+        coal = tuple("d" + n for n in cfg["srows"])
+        names = [n for n in names if n not in coal]
+        names.insert(-1, "dsrow")
     return names
 
 
@@ -114,21 +121,35 @@ _STEP3 = ("xh0", "xh1", "dw", "i10")          # [M, B, H] streams
 _STEP2 = ("a0", "a1", "gk0", "gk1", "gk2", "an1_0", "an1_1", "an1_2")
 
 
-def _stage_view(r, u, *, drift_idx=None, noise_time=None):
+def _stage_view(r, u, *, drift_idx=None, noise_time=None, srows=None):
     """Per-stage dict for the shared fused_em helpers: maps the
     stage-specific stream slice onto the canonical 'xh'/'a'/'gk'/'an1'
-    names the helpers expect."""
+    names the helpers expect. Row streams may ride coalesced in 'srow'
+    (SNSDE_FUSED_COALESCE) — unpacked here by row index."""
+    srows = srows or ()
+
+    def pick(nm):
+        if nm in srows:
+            i = srows.index(nm)
+            return r["srow"][u, i : i + 1]
+        if nm in r:
+            return r[nm][u]
+        return None
+
     ru = dict(r)
     if drift_idx is not None:
         if f"xh{drift_idx}" in r:
             ru["xh"] = r[f"xh{drift_idx}"][u]
-        if f"a{drift_idx}" in r:
-            ru["a"] = r[f"a{drift_idx}"][u]
+        a = pick(f"a{drift_idx}")
+        if a is not None:
+            ru["a"] = a
     if noise_time is not None:
-        if f"gk{noise_time}" in r:
-            ru["gk"] = r[f"gk{noise_time}"][u]
-        if f"an1_{noise_time}" in r:
-            ru["an1"] = r[f"an1_{noise_time}"][u]
+        gk = pick(f"gk{noise_time}")
+        if gk is not None:
+            ru["gk"] = gk
+        an1 = pick(f"an1_{noise_time}")
+        if an1 is not None:
+            ru["an1"] = an1
     return ru
 
 
@@ -144,11 +165,11 @@ def _srk_step(cfg, n_inner, r, u, y, dt, s_theta):
     rsq = jnp.where(dt > 0.0,
                     1.0 / jnp.maximum(sqrt_dt, 1e-30), 0.0)
 
-    r_f0 = _stage_view(r, u, drift_idx=0)
+    r_f0 = _stage_view(r, u, drift_idx=0, srows=cfg["srows"])
     f0, auxf0 = _drift_forward(cfg, n_inner, r_f0, y)
 
     def g_eval(t_idx, state):
-        rv = _stage_view(r, u, noise_time=t_idx)
+        rv = _stage_view(r, u, noise_time=t_idx, srows=cfg["srows"])
         graw, base, naux = _noise_forward(cfg, rv, state)
         g = jnp.tanh(s_theta * graw)
         return g, (graw, base, naux)
@@ -163,7 +184,7 @@ def _srk_step(cfg, n_inner, r, u, y, dt, s_theta):
     )
     g3, s3 = g_eval(1, H1_3)
     H0_1 = y + 0.75 * dt * f0 + 1.5 * (i10 * rdt) * g0
-    r_f1 = _stage_view(r, u, drift_idx=1)
+    r_f1 = _stage_view(r, u, drift_idx=1, srows=cfg["srows"])
     f1, auxf1 = _drift_forward(cfg, n_inner, r_f1, H0_1)
 
     I1 = dw
@@ -208,7 +229,7 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
     y_scr[:] = y
 
 
-def _specs_for(names, nk, B, H, block_b, U, reverse=False):
+def _specs_for(names, nk, B, H, block_b, U, reverse=False, srows=None):
     if reverse:
         s3 = pl.BlockSpec((U, block_b, H), lambda b, k: (nk - 1 - k, b, 0),
                           memory_space=pltpu.VMEM)
@@ -233,6 +254,14 @@ def _specs_for(names, nk, B, H, block_b, U, reverse=False):
         by_name[n] = s3
     for n in _STEP2:
         by_name[n] = s2
+    if srows:
+        R = len(srows)
+        by_name["srow"] = pl.BlockSpec(
+            (U, R, H),
+            (lambda b, k: (nk - 1 - k, 0, 0)) if reverse
+            else (lambda b, k: (k, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
     out = []
     for n in names:
         if n in by_name:
@@ -254,7 +283,8 @@ def _fused_srk_forward(params, streams, dts, y0, *, cfg, n_inner,
     names = _srk_input_names(cfg, n_inner)
     vals = {"y0": y0, "dts": dts, **_flatten_params(params), **streams}
     args = [vals[n] for n in names]
-    in_specs = _specs_for(names, nk, B, H, block_b, U)
+    in_specs = _specs_for(names, nk, B, H, block_b, U,
+                          srows=cfg["srows"])
 
     out_spec = pl.BlockSpec(
         (U, block_b, H), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
@@ -294,8 +324,25 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
 
     acc_names = [n for n in out_names
                  if n not in ("dxh0", "dxh1", "da0", "da1", "dgk0", "dgk1",
-                              "dgk2", "dan1_0", "dan1_1", "dan1_2", "dy0",
-                              "dtheta")]
+                              "dgk2", "dan1_0", "dan1_1", "dan1_2",
+                              "dsrow", "dy0", "dtheta")]
+    srows = cfg["srows"] or ()
+
+    def row_set(name, u, val, add=False):
+        """Write a per-step row cotangent, routed into dsrow when its
+        stream rides coalesced."""
+        base = name[1:]
+        if base in srows:
+            i = srows.index(base)
+            if add:
+                o["dsrow"][0, u, i] += val[0]
+            else:
+                o["dsrow"][0, u, i] = val[0]
+        elif name in o:
+            if add:
+                o[name][0, u] += val
+            else:
+                o[name][0, u] = val
 
     @pl.when(k == 0)
     def _():
@@ -335,32 +382,35 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
             dth = dth + (jnp.sum(dsg * graw, axis=0, keepdims=True)
                          * ds_dtheta)
             dgraw = dsg * s_theta
-            rv = _stage_view(r, u, noise_time=_NOISE_TIME[stage])
+            rv = _stage_view(r, u, noise_time=_NOISE_TIME[stage],
+                             srows=srows)
             dstate, nex = _noise_bwd(cfg, rv, state, base, naux, dgraw, o)
             t_idx = _NOISE_TIME[stage]
             if "dgk" in nex:
-                o[f"dgk{t_idx}"][0, u] += nex["dgk"]
+                row_set(f"dgk{t_idx}", u, nex["dgk"], add=True)
             if "dan1" in nex:
-                o[f"dan1_{t_idx}"][0, u] += nex["dan1"]
+                row_set(f"dan1_{t_idx}", u, nex["dan1"], add=True)
             return dstate
 
         # noise-stage stream cotangents accumulate across stages sharing a
         # stage time (1 and 3) — zero the per-step rows first
         for t_idx in (0, 1, 2):
-            if f"dgk{t_idx}" in o:
-                o[f"dgk{t_idx}"][0, u] = jnp.zeros_like(o[f"dgk{t_idx}"][0, u])
-            if f"dan1_{t_idx}" in o:
-                o[f"dan1_{t_idx}"][0, u] = jnp.zeros_like(
-                    o[f"dan1_{t_idx}"][0, u])
+            for nm in (f"gk{t_idx}", f"an1_{t_idx}"):
+                if nm in srows:
+                    i = srows.index(nm)
+                    o["dsrow"][0, u, i] = jnp.zeros_like(
+                        o["dsrow"][0, u, i])
+                elif "d" + nm in o:
+                    o["d" + nm][0, u] = jnp.zeros_like(o["d" + nm][0, u])
 
         # stage f1 (state H0_1 = y + 3/4 dt f0 + 3/2 (I10/dt) g0)
-        r_f1 = _stage_view(r, u, drift_idx=1)
+        r_f1 = _stage_view(r, u, drift_idx=1, srows=srows)
         dH01, dex1 = _drift_bwd(cfg, n_inner, r_f1, H0_1, auxf1, df1, o)
         dy = dy + dH01
         df0 = df0 + 0.75 * dt * dH01
         dgs[0] = dgs[0] + 1.5 * (i10 * rdt) * dH01
         if "da" in dex1:
-            o["da1"][0, u] = dex1["da"]
+            row_set("da1", u, dex1["da"])
         if "dxh" in dex1:
             o["dxh1"][u] = dex1["dxh"].astype(o["dxh1"].dtype)
 
@@ -388,11 +438,11 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         dy = dy + g_bwd(0, y, dgs[0])
 
         # stage f0 (state y)
-        r_f0 = _stage_view(r, u, drift_idx=0)
+        r_f0 = _stage_view(r, u, drift_idx=0, srows=srows)
         dyf0, dex0 = _drift_bwd(cfg, n_inner, r_f0, y, auxf0, df0, o)
         dy = dy + dyf0
         if "da" in dex0:
-            o["da0"][0, u] = dex0["da"]
+            row_set("da0", u, dex0["da"])
         if "dxh" in dex0:
             o["dxh0"][u] = dex0["dxh"].astype(o["dxh0"].dtype)
 
@@ -421,7 +471,8 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
     vals = {"yprev": traj[:-1], "gys": gys[1:], "dts": dts,
             **_flatten_params(params), **streams}
     args = [vals[n] for n in in_names]
-    in_specs = _specs_for(in_names, nk, B, H, block_b, U, reverse=True)
+    in_specs = _specs_for(in_names, nk, B, H, block_b, U, reverse=True,
+                          srows=cfg["srows"])
 
     out_names = _srk_bwd_output_names(cfg, n_inner)
     stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
@@ -438,6 +489,12 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
         "da0": s2_out, "da1": s2_out,
         "dgk0": s2_out, "dgk1": s2_out, "dgk2": s2_out,
         "dan1_0": s2_out, "dan1_1": s2_out, "dan1_2": s2_out,
+        **({"dsrow": ((nb, M, len(cfg["srows"]), H), jnp.float32,
+                      pl.BlockSpec(
+                          (1, U, len(cfg["srows"]), H),
+                          lambda b, k: (b, nk - 1 - k, 0, 0),
+                          memory_space=pltpu.VMEM))}
+           if cfg["srows"] else {}),
         "dy0": ((nb, block_b, H), jnp.float32,
                 pl.BlockSpec((1, block_b, H), lambda b, k: (b, 0, 0),
                              memory_space=pltpu.VMEM)),
@@ -509,6 +566,8 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
     for n in ("a0", "a1", "gk0", "gk1", "gk2", "an1_0", "an1_1", "an1_2"):
         if f"d{n}" in out:
             dstreams[n] = jnp.sum(out[f"d{n}"], axis=0)
+    if "dsrow" in out:
+        dstreams["srow"] = jnp.sum(out["dsrow"], axis=0)
 
     dy0 = out["dy0"].reshape(-1, out["dy0"].shape[-1])
     return dparams, dstreams, dy0
@@ -634,7 +693,9 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
     merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
-    cfg_key = (io, no, mm_bf16, False, H, traj_bf16, merged)
+    coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
+    cfg_key = (io, no, mm_bf16, False, H, traj_bf16, merged, coalesce,
+               True)
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
@@ -738,6 +799,12 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
             n2 = field.noise_y[1]
             params["wn2"] = _pad_to(_pad_to(n2.weight, Hp, 0), Hp, 1)
             params["bn2"] = _pad_to(n2.bias, Hp, 0)[None]
+
+    if cfg["srows"]:
+        # SNSDE_FUSED_COALESCE: one [M, R, Hp] stream for the 5 per-step
+        # stage rows — one block DMA per grid iteration instead of 5
+        streams["srow"] = jnp.concatenate(
+            [streams.pop(n) for n in cfg["srows"]], axis=1)
 
     y0p = _pad_to(y0.astype(jnp.float32), Hp, 1)
 

@@ -173,6 +173,17 @@ def test_fused_coalesce_mode_parity(setting, monkeypatch, io, no):
     )
     _parity(path, times, y0, B, H, field)
 
+    # SRK coalesces its 5 per-stage rows into one stream the same way
+    from snsde.kernels.fused_srk import fused_srk_solve
+
+    fb = field.bind(path)
+    dt = resolve_dt(times)
+    k = jax.random.PRNGKey(7)
+    ys_f = fused_srk_solve(fb, path, times, y0, k, dt=dt)
+    ys_s = sdeint(fb.f, fb.g, y0, times, key=k, dt=dt, method="srk")
+    np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_s),
+                               atol=2e-5)
+
 
 def test_supports_fused_full_grid():
     from snsde.kernels.fused_em import supports_fused

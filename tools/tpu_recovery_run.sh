@@ -67,5 +67,7 @@ run "bench coalesce" /tmp/tpu_recovery/bench_coalesce.log \
     env SNSDE_FUSED_COALESCE=1 python bench.py
 run "bench merge+coalesce" /tmp/tpu_recovery/bench_mc.log \
     env SNSDE_FUSED_MERGE=1 SNSDE_FUSED_COALESCE=1 python bench.py
+run "bench srk coalesce" /tmp/tpu_recovery/bench_srk_coalesce.log \
+    env SNSDE_BENCH_METHOD=srk SNSDE_FUSED_COALESCE=1 python bench.py
 
 echo "$(date) ALL DONE"
