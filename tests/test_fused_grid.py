@@ -185,6 +185,20 @@ def test_fused_coalesce_mode_parity(setting, monkeypatch, io, no):
                                atol=2e-5)
 
 
+@pytest.mark.slow
+def test_fused_merge_and_coalesce_compose(setting, monkeypatch):
+    """SNSDE_FUSED_MERGE + SNSDE_FUSED_COALESCE together: the merged
+    drift-bias row rides the coalesced srow stream."""
+    monkeypatch.setenv("SNSDE_FUSED_MERGE", "1")
+    monkeypatch.setenv("SNSDE_FUSED_COALESCE", "1")
+    path, times, y0, (B, C, H) = setting
+    field = DiffusionField.create(
+        jax.random.PRNGKey(8), C, H, H, 1, input_option=4,
+        noise_option=17,
+    )
+    _parity(path, times, y0, B, H, field)
+
+
 def test_supports_fused_full_grid():
     from snsde.kernels.fused_em import supports_fused
 
