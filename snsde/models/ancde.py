@@ -37,8 +37,8 @@ from ..nn.core import Module, module, static_field
 from ..nn.layers import Linear
 from ..ops.interp import CubicPath, hermite_cubic_coeffs
 from ..ops.logsig import logsig_windows, logsignature_channels
-from ..ops.solve import cdeint, odeint
-from .neuralcde import FinalTanh
+from ..ops.solve import odeint
+from .neuralcde import FinalTanh, cde_solve_dispatch
 from .neuralsde import resolve_dt
 
 __all__ = ["ANCDE", "EXIT", "LEAP", "NeuralRDE", "hard_sigmoid_ste"]
@@ -100,8 +100,8 @@ class ANCDE(Module):
         t_arr = jnp.asarray(times)
         z0 = self.initial_network(path.evaluate(t_arr[0]))
         dt = resolve_dt(times, floor=0.0)
-        a_stream = cdeint(path, self.func_f, z0, times, dt=dt,
-                          method=self.method)            # [L, B, C]
+        a_stream = cde_solve_dispatch(path, self.func_f, z0, times,
+                                      dt=dt, method=self.method)  # [L,B,C]
         a_stream = jnp.moveaxis(a_stream, 0, 1)          # [B, L, C]
         if self.timewise:
             att = self.time_attention(a_stream)          # [B, L, 1]
@@ -125,8 +125,8 @@ class ANCDE(Module):
         y_coeffs = hermite_cubic_coeffs(t_arr, Y)
         Y_path = CubicPath(y_coeffs, times)
         y0 = self.feature_extractor(Y[:, 0])
-        z_t = cdeint(Y_path, self.func_g, y0, times, dt=dt,
-                     method=self.method)
+        z_t = cde_solve_dispatch(Y_path, self.func_g, y0, times, dt=dt,
+                                 method=self.method)
         hn = jnp.moveaxis(z_t, 0, 1)
         return self.linear(hn), hn
 
@@ -181,8 +181,8 @@ class EXIT(Module):
 
         # encoder CDE over the raw control
         z0 = self.initial_network(path.evaluate(t_arr[0]))
-        enc = cdeint(path, self.enc_func, z0, times, dt=dt,
-                     method=self.method)
+        enc = cde_solve_dispatch(path, self.enc_func, z0, times, dt=dt,
+                                 method=self.method)
         h0 = enc[-1]                                  # [B, H]
 
         # coupled ODE-CDE with regularizer accumulators:
@@ -258,7 +258,8 @@ class LEAP(Module):
         Z_path = CubicPath(z_coeffs, times)
         z0 = self.initial_network(Z[:, 0])
         dt = resolve_dt(times, floor=0.0)
-        zs = cdeint(Z_path, self.func, z0, times, dt=dt, method=self.method)
+        zs = cde_solve_dispatch(Z_path, self.func, z0, times, dt=dt,
+                                method=self.method)
         hn = jnp.moveaxis(zs, 0, 1)
 
         # Hutchinson divergence estimate of the mapping (regularizer)
@@ -312,6 +313,7 @@ class NeuralRDE(Module):
         path = CubicPath(coeffs, new_times)
         z0 = self.initial_network(feats[:, 0])
         dt = resolve_dt(t_np, floor=0.0)
-        zs = cdeint(path, self.func, z0, t_np, dt=dt, method=self.method)
+        zs = cde_solve_dispatch(path, self.func, z0, t_np, dt=dt,
+                                method=self.method)
         hn = jnp.moveaxis(zs, 0, 1)                    # [B, n_w+1, H]
         return self.linear(hn), hn

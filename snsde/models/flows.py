@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..nn.core import Module, module, static_field
 from ..nn.layers import Linear
 from ..ops.interp import CubicPath, hermite_cubic_coeffs
-from ..ops.solve import cdeint
+from .neuralcde import cde_solve_dispatch
 
 __all__ = ["TimeTanh", "CouplingFlowLayer", "ResNetFlowLayer",
            "GRUFlowBlock", "NeuralFlow", "NeuralFlowCDE", "NeuralMixture",
@@ -308,8 +308,8 @@ class NeuralFlowCDE(_FlowBase):
         from .neuralsde import resolve_dt
 
         dt = resolve_dt(times, floor=0.0)
-        zs = cdeint(Z, self.func, z0, times, dt=dt,
-                    method=method or self.method)
+        zs = cde_solve_dispatch(Z, self.func, z0, times, dt=dt,
+                                method=method or self.method)
         zt = jnp.moveaxis(zs, 0, 1)
         h = jnp.tanh(zt)
         h = jax.nn.relu(self.mlp_layers[0](h))
@@ -380,8 +380,8 @@ class NeuralMixture(_FlowBase):
         from .neuralsde import resolve_dt
 
         dt = resolve_dt(times, floor=0.0)
-        zs = cdeint(path, self.func, z0, times, dt=dt,
-                    method=method or self.method)
+        zs = cde_solve_dispatch(path, self.func, z0, times, dt=dt,
+                                method=method or self.method)
         z_cde = jnp.moveaxis(zs, 0, 1)
         mixed = self.mixture(jnp.concatenate([z_flow, z_cde], axis=-1))
         h = jnp.tanh(mixed)
@@ -433,8 +433,8 @@ class NeuralControlledFlow(_FlowBase):
         from .neuralsde import resolve_dt
 
         dt = resolve_dt(times, floor=0.0)
-        zs = cdeint(path, self.func, z0, times, dt=dt,
-                    method=method or self.method)
+        zs = cde_solve_dispatch(path, self.func, z0, times, dt=dt,
+                                method=method or self.method)
         z = jnp.moveaxis(zs, 0, 1)
         B, L = z.shape[:2]
         tcol = jnp.broadcast_to(

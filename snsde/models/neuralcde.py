@@ -16,6 +16,7 @@ policy at models/metamodel.py:109-118).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -29,7 +30,25 @@ from ..ops.solve import cdeint
 from .neuralsde import ReadoutHead, resolve_dt
 
 __all__ = ["FinalTanh", "SingleHiddenLayer", "GRUODEField", "NeuralCDE",
-           "NeuralCDEStream"]
+           "NeuralCDEStream", "cde_solve_dispatch"]
+
+
+def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
+                       use_fused: bool = True):
+    """Shared CDE solver dispatch: the fused Pallas CDE kernel when the
+    bound (field, method) supports it (FinalTanh/SingleHiddenLayer on any
+    explicit tableau incl. the reference's rk4 default; TPU only),
+    otherwise the generic scan cdeint. SNSDE_NO_FUSED=1 forces the scan
+    path (perf A/Bs, debugging)."""
+    if os.environ.get("SNSDE_NO_FUSED", "0") == "1":
+        use_fused = False
+    if (use_fused and jax.default_backend() == "tpu"
+            and hasattr(path, "derivative_grid")):
+        from ..kernels.fused_cde import fused_cde_solve, supports_fused_cde
+
+        if supports_fused_cde(func, method):
+            return fused_cde_solve(func, path, ts, z0, dt=dt, method=method)
+    return cdeint(path, func, z0, ts, dt=dt, method=method)
 
 
 @module
@@ -180,8 +199,8 @@ class NeuralCDE(Module):
             z0 = self.initial_network(path.evaluate(jnp.asarray(times)[0]))
         # reference rk4 step policy: step_size = min Δt
         dt = resolve_dt(times, floor=0.0) if dt is None else dt
-        zs = cdeint(path, self.func, z0, times, dt=dt,
-                    method=method or self.method)         # [L, B, H]
+        zs = cde_solve_dispatch(path, self.func, z0, times, dt=dt,
+                                method=method or self.method)  # [L, B, H]
         if stream:
             z = jnp.moveaxis(zs, 0, -2)
         else:
@@ -230,7 +249,7 @@ class NeuralCDEStream(Module):
             B = (path.a if hasattr(path, "a") else path.values).shape[0]
             z0 = jnp.zeros((B, self.linear.in_features))
         dt = resolve_dt(times, floor=0.0) if dt is None else dt
-        zs = cdeint(path, self.func, z0, times, dt=dt,
-                    method=method or self.method)
+        zs = cde_solve_dispatch(path, self.func, z0, times, dt=dt,
+                                method=method or self.method)
         z = jnp.moveaxis(zs, 0, 1)
         return self.linear(z), z

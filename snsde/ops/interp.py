@@ -534,6 +534,32 @@ class CubicPath:
         inner = two_c + three_d * frac
         return b + inner * frac
 
+    def derivative_grid(self, ts_concrete):
+        """dX/dt at a CONCRETE grid of times [M] -> [M, ..., C].
+
+        Same host-side bucket resolution as `evaluate_grid` — the fast
+        path for precomputing control-derivative streams on solver grids
+        (kernels/fused_cde.py)."""
+        ts = np.asarray(jax.device_get(ts_concrete), np.float64)
+        try:
+            times_np = np.asarray(jax.device_get(self.times), np.float64)
+        except Exception:
+            return jax.vmap(self.derivative)(jnp.asarray(ts, self.a.dtype))
+        idx = np.clip(
+            np.searchsorted(times_np, ts, side="left") - 1,
+            0, self.a.shape[-2] - 1,
+        )
+        take = lambda c: jnp.moveaxis(
+            jnp.take(c, jnp.asarray(idx), axis=-2), -2, 0
+        )
+        b = take(self.b)
+        two_c = take(self.two_c)
+        three_d = take(self.three_d)
+        frac = jnp.asarray(
+            (ts - times_np[idx]).astype(np.float32)
+        ).reshape((len(idx),) + (1,) * (b.ndim - 1))
+        return b + (two_c + three_d * frac) * frac
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -584,3 +610,27 @@ class LinearPath:
         h = times[idx + 1] - times[idx]
         d = (x1 - x0) / (h[..., None] if jnp.ndim(h) else h)
         return d
+
+    def derivative_grid(self, ts_concrete):
+        """dX/dt at a CONCRETE grid of times [M] -> [M, ..., C] with
+        host-resolved buckets (CubicPath.derivative_grid analogue)."""
+        ts = np.asarray(jax.device_get(ts_concrete), np.float64)
+        try:
+            times_np = np.asarray(jax.device_get(self.times), np.float64)
+        except Exception:
+            return jax.vmap(self.derivative)(
+                jnp.asarray(ts, self.values.dtype)
+            )
+        idx = np.clip(
+            np.searchsorted(times_np, ts, side="left") - 1,
+            0, self.values.shape[-2] - 2,
+        )
+        x0 = jnp.moveaxis(jnp.take(self.values, jnp.asarray(idx), axis=-2),
+                          -2, 0)
+        x1 = jnp.moveaxis(
+            jnp.take(self.values, jnp.asarray(idx + 1), axis=-2), -2, 0
+        )
+        h = jnp.asarray(
+            (times_np[idx + 1] - times_np[idx]).astype(np.float32)
+        ).reshape((len(idx),) + (1,) * (x0.ndim - 1))
+        return (x1 - x0) / h

@@ -1,0 +1,197 @@
+"""Fused CDE kernel parity on CPU via Pallas interpret mode.
+
+Validates the fused explicit-RK CDE kernel (snsde/kernels/fused_cde.py)
+— forward AND the hand-written backward — against ops.solve.cdeint (the
+scan path) on identical grids, for every tableau, both supported vector
+fields, and the lane-packing edge cases (multi-row stage lanes, step
+counts not divisible by the unroll). Gradients are compared for the
+field weights, z0, AND the interpolation coefficients (the control
+stream is differentiated, unlike the SDE kernels' Brownian stream).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from snsde.models.neuralcde import FinalTanh, SingleHiddenLayer
+from snsde.nn.core import filter_value_and_grad, partition
+from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+from snsde.ops.solve import cdeint
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("SNSDE_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("SNSDE_FUSED_STREAM", "f32")
+
+
+def _setting(B=8, L=6, C=3, H=5, seed=0):
+    rng = np.random.default_rng(seed)
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(x))
+    path = CubicPath(coeffs, times)
+    z0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    return path, times, z0
+
+
+def _make_field(kind, C, H, HH, n_inner, key=3):
+    k = jax.random.PRNGKey(key)
+    if kind == "final_tanh":
+        return FinalTanh.create(k, C, H, HH, n_inner + 1)
+    return SingleHiddenLayer.create(k, C, H, HH)
+
+
+@pytest.mark.parametrize("method", ["euler", "midpoint", "heun", "rk4"])
+def test_fused_cde_matches_scan(method):
+    from snsde.kernels.fused_cde import fused_cde_solve, supports_fused_cde
+
+    path, times, z0 = _setting()
+    func = _make_field("final_tanh", 3, 5, 7, 1)
+    assert supports_fused_cde(func, method)
+    dt = 0.08
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=dt, method=method)
+    zs_scan = cdeint(path, func, z0, times, dt=dt, method=method)
+    np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
+                               atol=3e-5)
+
+
+@pytest.mark.parametrize("kind,n_inner", [("final_tanh", 0),
+                                          ("final_tanh", 2),
+                                          ("single", 0)])
+def test_fused_cde_field_variants(kind, n_inner):
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting()
+    func = _make_field(kind, 3, 5, 7, n_inner)
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=0.1, method="rk4")
+    zs_scan = cdeint(path, func, z0, times, dt=0.1, method="rk4")
+    np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
+                               atol=3e-5)
+
+
+def test_fused_cde_wide_channels():
+    """C large enough that the packed stage row spans >1 lane tile and
+    H*C spans multiple tiles (SW=256, CHp=256 at C=50, H=3, rk4)."""
+    from snsde.kernels.fused_cde import fused_cde_solve, supports_fused_cde
+
+    path, times, z0 = _setting(C=50, H=3)
+    func = _make_field("final_tanh", 50, 3, 9, 1)
+    assert supports_fused_cde(func, "rk4")
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=0.11, method="rk4")
+    zs_scan = cdeint(path, func, z0, times, dt=0.11, method="rk4")
+    np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
+                               atol=3e-5)
+
+
+@pytest.mark.parametrize("method", ["euler", "rk4"])
+def test_fused_cde_gradients_match_scan(method):
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting()
+    func = _make_field("final_tanh", 3, 5, 7, 1)
+    dt = 0.09
+
+    def loss_fused(fld):
+        return jnp.sum(
+            fused_cde_solve(fld, path, times, z0, dt=dt, method=method)[-1]
+            ** 2
+        )
+
+    def loss_scan(fld):
+        return jnp.sum(
+            cdeint(path, fld, z0, times, dt=dt, method=method)[-1] ** 2
+        )
+
+    _, g1 = filter_value_and_grad(loss_fused)(func)
+    _, g2 = filter_value_and_grad(loss_scan)(func)
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_cde_control_and_z0_gradients():
+    """The control stream is differentiated: grads reach the interpolation
+    coefficients exactly (learned-control support), and z0 grads match."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    rng = np.random.default_rng(1)
+    B, L, C, H = 4, 5, 3, 5
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    z0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    func = _make_field("final_tanh", C, H, 7, 1)
+    dt = 0.07
+
+    def loss(fn, series, z_init):
+        coeffs = hermite_cubic_coeffs(jnp.asarray(times), series)
+        p = CubicPath(coeffs, times)
+        zs = fn(p, z_init)
+        return jnp.sum(zs[-1] ** 2)
+
+    fused = lambda p, zi: fused_cde_solve(func, p, times, zi, dt=dt,
+                                          method="rk4")
+    scan = lambda p, zi: cdeint(p, func, zi, times, dt=dt, method="rk4")
+
+    gx1, gz1 = jax.grad(lambda s, zi: loss(fused, s, zi), argnums=(0, 1))(
+        x, z0
+    )
+    gx2, gz2 = jax.grad(lambda s, zi: loss(scan, s, zi), argnums=(0, 1))(
+        x, z0
+    )
+    assert float(jnp.abs(gx2).max()) > 1e-6   # the comparison is non-vacuous
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gz1), np.asarray(gz2),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_cde_unroll_padding(monkeypatch):
+    """Step counts not divisible by the unroll hit the dt=0 identity-step
+    padding; results must be unchanged."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting(L=5)
+    func = _make_field("final_tanh", 3, 5, 7, 1)
+    dt = None  # step exactly on the 4 intervals -> M=4
+    monkeypatch.setenv("SNSDE_FUSED_UNROLL", "3")   # M=4 -> pad to 6
+    zs_pad = fused_cde_solve(func, path, times, z0, dt=dt, method="rk4")
+    monkeypatch.setenv("SNSDE_FUSED_UNROLL", "1")
+    zs_exact = fused_cde_solve(func, path, times, z0, dt=dt, method="rk4")
+    np.testing.assert_allclose(np.asarray(zs_pad), np.asarray(zs_exact),
+                               atol=1e-6)
+
+
+def test_fused_cde_vmap_falls_back(monkeypatch):
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting(B=4)
+    func = _make_field("final_tanh", 3, 5, 7, 1)
+    z0s = jnp.stack([z0, z0 + 0.1])
+    with pytest.warns(UserWarning, match="under vmap"):
+        out = jax.vmap(
+            lambda zi: fused_cde_solve(func, path, times, zi, dt=0.1,
+                                       method="rk4")
+        )(z0s)
+    ref = cdeint(path, func, z0, times, dt=0.1, method="rk4")
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               np.asarray(jnp.moveaxis(ref, 0, 0)),
+                               atol=1e-5)
+
+
+def test_supports_fused_cde_guards():
+    from snsde.kernels.fused_cde import supports_fused_cde
+    from snsde.models.neuralcde import GRUODEField
+
+    func = _make_field("final_tanh", 3, 5, 7, 1)
+    assert supports_fused_cde(func, "rk4")
+    assert not supports_fused_cde(func, "dopri5")       # adaptive -> scan
+    gru = GRUODEField.create(jax.random.PRNGKey(0), 3, 5)
+    assert not supports_fused_cde(gru, "rk4")           # field kind
+    huge = _make_field("final_tanh", 200, 64, 16, 0)    # H*C = 12800 lanes
+    assert not supports_fused_cde(huge, "rk4")
