@@ -237,3 +237,55 @@ def test_fused_srk_matches_scan_tpu():
     np.testing.assert_allclose(
         np.asarray(ys_ref), np.asarray(ys_fused), atol=2e-2
     )
+
+
+@requires_tpu
+@pytest.mark.parametrize("method", ["euler", "rk4"])
+def test_fused_cde_matches_scan_tpu(method):
+    """Compiled fused CDE kernel vs the scan cdeint on chip (semantic
+    parity is pinned at ~1e-6 by the interpret-mode tests in
+    tests/test_fused_cde.py; this validates the Mosaic compile)."""
+    from snsde.kernels.fused_cde import fused_cde_solve, supports_fused_cde
+    from snsde.models.neuralcde import FinalTanh
+    from snsde.nn.core import filter_value_and_grad, partition
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+    from snsde.ops.solve import cdeint
+
+    rng = np.random.default_rng(0)
+    B, L, C, H, HH = 128, 12, 5, 33, 33
+    times = np.arange(L, dtype=np.float32)
+    X = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
+    path = CubicPath(coeffs, times)
+    func = FinalTanh.create(jax.random.PRNGKey(3), C, H, HH, 2)
+    assert supports_fused_cde(func, method)
+    z0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    dt = 0.5
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=dt, method=method)
+    with jax.default_matmul_precision("high"):
+        zs_scan = cdeint(path, func, z0, times, dt=dt, method=method)
+    np.testing.assert_allclose(
+        np.asarray(zs_fused), np.asarray(zs_scan), atol=5e-3
+    )
+
+    def loss_fused(fld):
+        return jnp.sum(
+            fused_cde_solve(fld, path, times, z0, dt=dt, method=method)[-1]
+            ** 2
+        )
+
+    def loss_scan(fld):
+        with jax.default_matmul_precision("high"):
+            return jnp.sum(
+                cdeint(path, fld, z0, times, dt=dt, method=method)[-1] ** 2
+            )
+
+    _, g1 = filter_value_and_grad(loss_fused)(func)
+    _, g2 = filter_value_and_grad(loss_scan)(func)
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        denom = float(np.abs(np.asarray(b)).max()) + 1e-8
+        rel = float(np.abs(np.asarray(a) - np.asarray(b)).max()) / denom
+        assert rel < 2e-2, rel

@@ -1,0 +1,122 @@
+"""Fused CDE kernel throughput A/B (fused Pallas vs scan cdeint).
+
+Measures the NCDE training step (fwd+bwd+Adam, same scanned loop as
+bench.py) through the public NeuralCDE model, fused vs SNSDE_NO_FUSED=1,
+at the shapes the reference's NCDE workloads actually run:
+  * uea_rk4   — torch-ists sweep-like cell (B=1024, L=72, C=6,  H=32)
+  * sepsis_rk4 — sepsis-like channels      (B=1024, L=72, C=35, H=32)
+  * uea_euler — cheapest tableau at the sweep shape
+
+Each config runs fused THEN scan in one process and reports the ratio.
+Writes BENCH_CDE.json. Usage:
+  python tools/bench_cde.py [--iters 30] [--only uea_rk4 ...]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_one(name, method, B, L, C, H, layers=2, iters=30):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from snsde.models.neuralcde import FinalTanh, NeuralCDE
+    from snsde.nn.core import combine, filter_value_and_grad, partition
+    from snsde.ops.interp import hermite_cubic_coeffs
+    from snsde.train.loop import bce_with_logits
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    times = np.arange(L, dtype=np.float32)
+    X = rng.normal(size=(B, L, C - 1)).astype(np.float32)
+    tchan = np.broadcast_to(times[None, :, None], (B, L, 1))
+    Xa = np.concatenate([tchan, X], axis=-1)
+    coeffs = jnp.asarray(np.asarray(
+        hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(Xa))))
+    y = jnp.asarray((rng.random(B) < 0.3).astype(np.float32))
+    final_index = jnp.full((B,), L - 1, jnp.int32)
+
+    func = FinalTanh.create(jax.random.fold_in(key, 1), C, H, H, layers)
+    model = NeuralCDE.create(jax.random.fold_in(key, 2), func, C, H, 1,
+                             method=method)
+    tx = optax.flatten(optax.adamw(1e-3, weight_decay=0.01))
+    params, _ = partition(model)
+    opt_state = tx.init(params)
+
+    def loss_fn(m, coeffs, y, key):
+        logits, new_m = m(times, coeffs, final_index, key=key, train=True)
+        return bce_with_logits(logits[..., 0], y), new_m
+
+    vg = filter_value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_loop(model, opt_state, coeffs, y, keys):
+        def body(carry, k):
+            m, os_ = carry
+            (loss, new_m), grads = vg(m, coeffs, y, k)
+            p, rest = partition(new_m)
+            updates, os2 = tx.update(grads, os_, p)
+            return (combine(optax.apply_updates(p, updates), rest), os2), \
+                loss
+
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), keys)
+        return model, opt_state, losses
+
+    kws = jnp.stack([jax.random.fold_in(key, i) for i in range(iters)])
+    _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
+    losses.block_until_ready()
+    t0 = time.perf_counter()
+    _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(losses).all())
+    return {"train_step_ms": round(dt / iters * 1e3, 3),
+            "sample_steps_per_sec": round(iters * (L - 1) * B / dt, 1)}
+
+
+CONFIGS = {
+    "uea_rk4": dict(method="rk4", B=1024, L=72, C=6, H=32),
+    "sepsis_rk4": dict(method="rk4", B=1024, L=72, C=35, H=32),
+    "uea_euler": dict(method="euler", B=1024, L=72, C=6, H=32),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--only", nargs="*", default=list(CONFIGS))
+    ap.add_argument("--out", default="BENCH_CDE.json")
+    args = ap.parse_args()
+
+    records = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            records = json.load(f)
+    for name in args.only:
+        rec = {"name": name, **CONFIGS[name]}
+        for mode, env in (("fused", "0"), ("scan", "1")):
+            os.environ["SNSDE_NO_FUSED"] = env
+            print(f"=== {name} [{mode}] ===", flush=True)
+            t0 = time.time()
+            r = bench_one(name, iters=args.iters, **CONFIGS[name])
+            r["total_s_incl_compile"] = round(time.time() - t0, 1)
+            rec[mode] = r
+            print(json.dumps(r), flush=True)
+        rec["speedup"] = round(
+            rec["scan"]["train_step_ms"] / rec["fused"]["train_step_ms"], 2
+        )
+        records[name] = rec
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"{name}: {rec['speedup']}x", flush=True)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
