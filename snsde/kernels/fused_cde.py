@@ -92,17 +92,22 @@ def _stage_times(method):
 
 
 @functools.lru_cache(maxsize=None)
-def _config(method, act, n_inner, H, HH, C, mm_bf16, traj_bf16):
+def _config(method, act, n_inner, H, HH, C, mm_bf16, traj_bf16, members=1):
+    """members > 1: the field is a lane-packed stack of `members`
+    identically-shaped models (kernels/multi.py), each with its OWN
+    control path — the packed stream carries members*NT*C derivative
+    lanes (member-major) and E_j maps member i's hidden groups onto
+    member i's rows. members == 1 is the plain single-model layout."""
     uniq, tidx = _stage_times(method)
     return {
         "method": method,
         "act": act,                       # 'relu' (FinalTanh) | 'tanh'
         "n_inner": n_inner,
-        "H": H, "HH": HH, "C": C,
+        "H": H, "HH": HH, "C": C, "KM": members,
         "Hp": _round_up(max(H, 8), LANE),
         "HHp": _round_up(max(HH, 8), LANE),
         "CHp": _round_up(H * C, LANE),
-        "SW": _round_up(len(uniq) * C, LANE),
+        "SW": _round_up(members * len(uniq) * C, LANE),
         "ut": uniq,                       # distinct stage-time offsets
         "tidx": tidx,                     # stage -> distinct-time index
         "mm_bf16": mm_bf16,
@@ -113,17 +118,25 @@ def _config(method, act, n_inner, H, HH, C, mm_bf16, traj_bf16):
 def _onehots(cfg):
     """E_j [SW, CHp] (one per distinct stage time) and S [CHp, Hp] built
     from iota comparisons — computed, not literal, so the remote-runtime
-    HLO carries no multi-MB constant payloads (CLAUDE.md HTTP-413)."""
-    H, C = cfg["H"], cfg["C"]
+    HLO carries no multi-MB constant payloads (CLAUDE.md HTTP-413).
+
+    With KM packed members (H = KM * H_member), hidden group g = q // C
+    belongs to member g // H_member, whose stage-j derivative row in the
+    member-major packed stream is member*NT*C + j*C + c."""
+    H, C, KM = cfg["H"], cfg["C"], cfg["KM"]
     CHp, SW, Hp = cfg["CHp"], cfg["SW"], cfg["Hp"]
+    NT = len(cfg["ut"])
+    Hm = H // KM
     q = jnp.arange(CHp)
     c_of_q = q % C
     h_of_q = q // C
+    m_of_q = h_of_q // Hm
     valid_q = h_of_q < H
     rows = jnp.arange(SW)[:, None]
     es = []
-    for j in range(len(cfg["ut"])):
-        target = jnp.where(valid_q, j * C + c_of_q, -1)[None, :]
+    for j in range(NT):
+        target = jnp.where(valid_q, m_of_q * (NT * C) + j * C + c_of_q,
+                           -1)[None, :]
         es.append((rows == target).astype(jnp.float32))
     hcol = jnp.arange(Hp)[None, :]
     smat = jnp.logical_and(
@@ -484,7 +497,12 @@ _fused_cde.defvjp(_fused_cde_fwd, _fused_cde_bwd)
 
 def _field_kind(func):
     """('relu', n_inner) for FinalTanh, ('tanh', 0) for SingleHiddenLayer,
-    None for anything else (GRU-ODE fields etc. stay on the scan path)."""
+    None for anything else (GRU-ODE fields etc. stay on the scan path).
+    Lane-packed synthetic fields (kernels/multi.py) carry an explicit
+    `fused_cde_kind` attribute."""
+    kind = getattr(func, "fused_cde_kind", None)
+    if kind is not None:
+        return kind
     from ..models.neuralcde import FinalTanh, SingleHiddenLayer
 
     if isinstance(func, FinalTanh):
@@ -509,22 +527,27 @@ def supports_fused_cde(func, method: str = "rk4") -> bool:
         HH = func.linear_in.out_features
     else:
         HH = func.linear1.out_features
+    members = getattr(func, "fused_cde_members", 1)
     uniq, _ = _stage_times(method)
     CHp = _round_up(H * C, LANE)
     HHp = _round_up(max(HH, 8), LANE)
     return (CHp <= _MAX_LANES
             and _round_up(max(H, 8), LANE) <= 512
-            and _round_up(len(uniq) * C, LANE) <= 512
+            and _round_up(members * len(uniq) * C, LANE) <= 512
             and HHp * CHp * 4 <= _MAX_WOUT_BYTES)
 
 
 def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
-                    stream_dtype=None):
+                    stream_dtype=None, members: int = 1,
+                    dx_override=None):
     """Drop-in fused solve for  dz = f(z) dX(t)  on a fixed grid.
     Returns zs [T, B, H] on the output times (ops.solve.cdeint layout).
 
-    func: FinalTanh or SingleHiddenLayer (models/neuralcde.py).
+    func: FinalTanh or SingleHiddenLayer (models/neuralcde.py), or a
+          lane-packed synthetic field (kernels/multi.py).
     path: control path exposing derivative_grid (CubicPath/LinearPath).
+    members/dx_override: packed-caller plumbing — `members` packed models
+          with a member-major [M, B, members*NT*C] derivative stream.
     Semantics match cdeint(method=...) on the same make_grid(times, dt)
     grid; gradients flow to the field weights, z0, AND the control path's
     coefficients (the packed derivative stream is differentiated)."""
@@ -539,6 +562,16 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
         )
     dt = resolve_dt(times, floor=0.0) if dt is None else dt
     if is_batched(func, path, z0):
+        # Route the batch axis onto the lane-packed kernel (custom
+        # batching rule, kernels/multi.py) instead of the scan fallback —
+        # same policy as fused_em_solve. Overrides are packed-caller
+        # plumbing and never come from user vmap.
+        if (dx_override is None and members == 1
+                and os.environ.get("SNSDE_VMAP_ROUTE", "1") != "0"):
+            from .multi import route_vmapped_cde
+
+            return route_vmapped_cde(func, path, times, z0, dt, method,
+                                     stream_dtype)
         warnings.warn(
             "fused_cde_solve called under vmap: falling back to the scan "
             "path (Mosaic mis-compiles the fused kernels' scratch carry "
@@ -559,23 +592,29 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
 
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
-    cfg_key = (method, act, n_inner, H, HH, C, mm_bf16, traj_bf16)
+    cfg_key = (method, act, n_inner, H, HH, C, mm_bf16, traj_bf16, members)
     cfg = _config(*cfg_key)
     Hp, HHp, CHp, SW = cfg["Hp"], cfg["HHp"], cfg["CHp"], cfg["SW"]
 
     grid, out_idx = make_grid(times, dt)
     M = grid.shape[0] - 1
     hs = np.diff(grid)
-
-    # packed per-step control-derivative rows: d[m, b, j*C + c] = dX/dt at
-    # t_m + ut[j]*h_m — every distinct stage time rides ONE stream row
-    ut = np.asarray(cfg["ut"], np.float64)
-    stage_t = (grid[:-1, None] + hs[:, None] * ut[None, :]).reshape(-1)
-    dvals = path.derivative_grid(stage_t)            # [M*NT, B, C]
-    NT = len(ut)
     B = z0.shape[0]
-    dvals = jnp.moveaxis(dvals.reshape(M, NT, B, C), 1, 2)   # [M, B, NT, C]
-    dx = _pad_to(dvals.reshape(M, B, NT * C), SW, 2).astype(stream_dtype)
+
+    if dx_override is not None:
+        # caller-supplied member-major packed stream [M, B, KM*NT*C]
+        dx = _pad_to(dx_override, SW, 2).astype(stream_dtype)
+    else:
+        # packed per-step control-derivative rows: d[m, b, j*C + c] =
+        # dX/dt at t_m + ut[j]*h_m — every distinct stage time rides ONE
+        # stream row
+        ut = np.asarray(cfg["ut"], np.float64)
+        stage_t = (grid[:-1, None] + hs[:, None] * ut[None, :]).reshape(-1)
+        dvals = path.derivative_grid(stage_t)        # [M*NT, B, C]
+        NT = len(ut)
+        dvals = jnp.moveaxis(dvals.reshape(M, NT, B, C), 1, 2)
+        dx = _pad_to(dvals.reshape(M, B, NT * C), SW, 2).astype(
+            stream_dtype)
 
     params = {
         "win": _pad_to(_pad_to(lin_in.weight, Hp, 0), HHp, 1),

@@ -37,7 +37,8 @@ from jax.scipy.linalg import block_diag
 from .fused_em import fused_em_solve
 
 __all__ = ["fused_em_solve_packed", "fused_srk_solve_packed",
-           "pack_fields", "route_vmapped", "MAX_PACKED_LANES"]
+           "fused_cde_solve_packed", "pack_fields", "pack_cde_fields",
+           "route_vmapped", "route_vmapped_cde", "MAX_PACKED_LANES"]
 
 # Routed vmap solves lane-pack up to this many hidden lanes (K * max(H,
 # HH)). Packed weights are [K*H, K*H] and stay VMEM-resident across every
@@ -407,3 +408,178 @@ def fused_srk_solve_packed(fields, path, times, y0s, keys, dt=None,
                          brownian_override=(dW, I10), xh_override=xh)
     T = ys.shape[0]
     return ys.reshape(T, B, K, H).transpose(2, 0, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed CDE solves (the NCDE family's sweep workloads)
+# ---------------------------------------------------------------------------
+
+def pack_cde_fields(funcs):
+    """Pack K identically-configured FinalTanh/SingleHiddenLayer vector
+    fields into one synthetic field of hidden width K*H with
+    block-diagonal weights. Exactness argument: every mixing in the field
+    is a matmul against a member's weight matrix, and the out-projection's
+    h-major column layout keeps each member's [HH, H*C] block CONTIGUOUS
+    ((i*H + h)*C + c spans [i*H*C, (i+1)*H*C)), so plain block_diag packs
+    it; the kernel's one-hot E/S matrices are member-aware
+    (fused_cde._onehots). The activation pattern rides through unchanged
+    (elementwise over lanes)."""
+    from .fused_cde import _field_kind
+
+    kind0 = _field_kind(funcs[0])
+    if kind0 is None:
+        raise ValueError("pack_cde_fields needs FinalTanh or "
+                         "SingleHiddenLayer members")
+    for f in funcs[1:]:
+        if (_field_kind(f) != kind0
+                or f.hidden_channels != funcs[0].hidden_channels
+                or f.input_channels != funcs[0].input_channels):
+            raise ValueError(
+                "pack_cde_fields needs identically-configured fields "
+                "(same kind, widths, depth)"
+            )
+    act, n_inner = kind0
+    K = len(funcs)
+
+    def bd(lins):
+        return _ns(
+            weight=block_diag(*[l.weight for l in lins]),
+            bias=jnp.concatenate([l.bias for l in lins]),
+            in_features=sum(l.weight.shape[0] for l in lins),
+            out_features=sum(l.weight.shape[1] for l in lins),
+        )
+
+    if act == "relu":
+        lin_in = bd([f.linear_in for f in funcs])
+        inners = tuple(
+            bd([f.linears[i] for f in funcs]) for i in range(n_inner)
+        )
+        lin_out = bd([f.linear_out for f in funcs])
+        extra = dict(linear_in=lin_in, linears=inners, linear_out=lin_out)
+    else:
+        extra = dict(linear1=bd([f.linear1 for f in funcs]),
+                     linear2=bd([f.linear2 for f in funcs]))
+    return _ns(
+        fused_cde_kind=kind0,
+        fused_cde_members=K,
+        hidden_channels=K * funcs[0].hidden_channels,
+        input_channels=funcs[0].input_channels,
+        **extra,
+    )
+
+
+def fused_cde_solve_packed(funcs, path, times, z0s, dt=None,
+                           method="rk4", stream_dtype=None, paths=None):
+    """Solve K identically-configured CDE vector fields in one fused CDE
+    kernel invocation.
+
+    funcs: list of K FinalTanh/SingleHiddenLayer fields.
+    z0s:   [K, B, H] per-member initial states.
+    paths: optional list of K control paths — one PER MEMBER (per-seed
+           missingness in the robustness sweep); omitted -> all members
+           ride `path`. Returns zs [K, T, B, H]."""
+    from ..models.neuralsde import resolve_dt
+    from ..ops.solve import make_grid
+    from .fused_cde import _stage_times, fused_cde_solve
+
+    K = len(funcs)
+    if z0s.shape[0] != K:
+        raise ValueError("need one z0 slice per field")
+    H = funcs[0].hidden_channels
+    B = z0s.shape[1]
+    packed = pack_cde_fields(funcs)
+    z0 = jnp.concatenate([z0s[i] for i in range(K)], axis=-1)
+
+    dt = resolve_dt(times, floor=0.0) if dt is None else dt
+    dx = None
+    members = 1
+    if paths is not None:
+        if len(paths) != K:
+            raise ValueError("need one control path per field")
+        members = K
+        grid, _ = make_grid(times, dt)
+        import numpy as _np
+
+        hs = _np.diff(grid)
+        ut = _np.asarray(_stage_times(method)[0], _np.float64)
+        stage_t = (grid[:-1, None] + hs[:, None] * ut[None, :]).reshape(-1)
+        M, NT, C = len(hs), len(ut), funcs[0].input_channels
+        ds = []
+        for p in paths:
+            dv = p.derivative_grid(stage_t)          # [M*NT, B, C]
+            ds.append(jnp.moveaxis(dv.reshape(M, NT, B, C), 1, 2)
+                      .reshape(M, B, NT * C))
+        dx = jnp.concatenate(ds, axis=-1)            # [M, B, K*NT*C]
+
+    zs = fused_cde_solve(packed, path, times, z0, dt=dt, method=method,
+                         stream_dtype=stream_dtype, members=members,
+                         dx_override=dx)
+    T = zs.shape[0]
+    return zs.reshape(T, B, K, H).transpose(2, 0, 1, 3)
+
+
+def route_vmapped_cde(func, path, times, z0, dt, method, stream_dtype):
+    """Custom batching rule for vmapped fused CDE solves: slice the K
+    stacked members out, lane-pack them (pack_cde_fields) and solve them
+    in ONE kernel call — same policy and caveats as route_vmapped
+    (grad-around-vmap only; nested vmap and too-wide axes keep the warned
+    vmapped-scan fallback)."""
+    from jax.custom_batching import custom_vmap
+
+    from ..ops.solve import cdeint
+    from .fused_cde import (_field_kind, _round_up, _stage_times,
+                            fused_cde_solve, is_batched, supports_fused_cde)
+
+    @custom_vmap
+    def core(func, path, z0):
+        return fused_cde_solve(func, path, times, z0, dt=dt, method=method,
+                               stream_dtype=stream_dtype)
+
+    @core.def_vmap
+    def rule(axis_size, in_batched, func_b, path_b, z0_b):
+        K = axis_size
+        fb, pb, zb = in_batched
+        H = func_b.hidden_channels
+        kind = _field_kind(func_b)
+        HH = (func_b.linear_in if kind[0] == "relu"
+              else func_b.linear1).out_features
+        C = func_b.input_channels
+        NT = len(_stage_times(method)[0])
+        nested = is_batched(func_b, path_b, z0_b)
+        per_member_paths = any(jax.tree_util.tree_leaves(pb))
+        packed_sw = _round_up((K if per_member_paths else 1) * NT * C, 128)
+        too_wide = (K * max(H, HH) > MAX_PACKED_LANES
+                    or _round_up(K * H * C, 128) > 4096
+                    or packed_sw > 512)
+        if nested or too_wide:
+            warnings.warn(
+                ("nested vmap over a fused cde solve" if nested else
+                 f"vmapped fused cde solve: packed widths (K={K}, H={H}, "
+                 f"C={C}) exceed the lane caps")
+                + "; falling back to the scan path. Split the vmap axis "
+                "or use snsde.kernels.multi.fused_cde_solve_packed.",
+                stacklevel=2,
+            )
+            in_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, (fb, pb, zb)
+            )
+            out = jax.vmap(
+                lambda f, p, z: cdeint(p, f, z, times, dt=dt,
+                                       method=method),
+                in_axes=in_axes,
+            )(func_b, path_b, z0_b)
+            return out, True
+
+        members = [_slice_member(func_b, fb, i) for i in range(K)]
+        paths = None
+        shared_path = path_b
+        if per_member_paths:
+            paths = [_slice_member(path_b, pb, i) for i in range(K)]
+            shared_path = paths[0]
+        z0s = z0_b if zb else jnp.broadcast_to(z0_b, (K,) + z0_b.shape)
+        zs = fused_cde_solve_packed(members, shared_path, times, z0s,
+                                    dt=dt, method=method,
+                                    stream_dtype=stream_dtype, paths=paths)
+        return zs, True
+
+    return core(func, path, z0)

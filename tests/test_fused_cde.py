@@ -168,8 +168,12 @@ def test_fused_cde_unroll_padding(monkeypatch):
 
 
 def test_fused_cde_vmap_falls_back(monkeypatch):
+    """SNSDE_VMAP_ROUTE=0 restores the warned scan fallback under vmap
+    (routing onto the packed kernel is the default — see the routed
+    tests below)."""
     from snsde.kernels.fused_cde import fused_cde_solve
 
+    monkeypatch.setenv("SNSDE_VMAP_ROUTE", "0")
     path, times, z0 = _setting(B=4)
     func = _make_field("final_tanh", 3, 5, 7, 1)
     z0s = jnp.stack([z0, z0 + 0.1])
@@ -195,3 +199,123 @@ def test_supports_fused_cde_guards():
     assert not supports_fused_cde(gru, "rk4")           # field kind
     huge = _make_field("final_tanh", 200, 64, 16, 0)    # H*C = 12800 lanes
     assert not supports_fused_cde(huge, "rk4")
+
+
+def _stack_fields(fields):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fields)
+
+
+def test_fused_cde_packed_matches_sequential():
+    """K lane-packed members == K sequential fused solves (shared path)."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+    from snsde.kernels.multi import fused_cde_solve_packed
+
+    path, times, z0 = _setting()
+    fields = [_make_field("final_tanh", 3, 5, 7, 1, key=i) for i in range(3)]
+    z0s = jnp.stack([z0, z0 + 0.3, z0 - 0.2])
+    zs_packed = fused_cde_solve_packed(fields, path, times, z0s, dt=0.09,
+                                       method="rk4")
+    for i, f in enumerate(fields):
+        zs_i = fused_cde_solve(f, path, times, z0s[i], dt=0.09,
+                               method="rk4")
+        np.testing.assert_allclose(np.asarray(zs_packed[i]),
+                                   np.asarray(zs_i), atol=1e-5)
+
+
+def test_fused_cde_packed_per_member_paths():
+    """Per-member control paths (the robustness sweep's per-seed
+    missingness case): member-major packed stream, member-aware E."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+    from snsde.kernels.multi import fused_cde_solve_packed
+
+    fields, paths, z0s = [], [], []
+    times = np.linspace(0.0, 1.0, 6).astype(np.float32)
+    for i in range(3):
+        p, _, z0 = _setting(seed=10 + i)
+        fields.append(_make_field("final_tanh", 3, 5, 7, 1, key=i))
+        paths.append(p)
+        z0s.append(z0)
+    z0s = jnp.stack(z0s)
+    zs_packed = fused_cde_solve_packed(fields, paths[0], times, z0s,
+                                       dt=0.09, method="rk4", paths=paths)
+    for i in range(3):
+        zs_i = fused_cde_solve(fields[i], paths[i], times, z0s[i], dt=0.09,
+                               method="rk4")
+        np.testing.assert_allclose(np.asarray(zs_packed[i]),
+                                   np.asarray(zs_i), atol=1e-5)
+
+
+def test_fused_cde_routed_vmap():
+    """vmap over a fused CDE solve routes onto the packed kernel (no
+    fallback warning) and matches sequential solves; grads flow."""
+    import warnings as _w
+
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting()
+    fields = [_make_field("final_tanh", 3, 5, 7, 1, key=i) for i in range(2)]
+    stacked = _stack_fields(fields)
+    z0s = jnp.stack([z0, z0 + 0.1])
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")        # any fallback warning -> failure
+        out = jax.vmap(
+            lambda f, zi: fused_cde_solve(f, path, times, zi, dt=0.1,
+                                          method="rk4")
+        )(stacked, z0s)
+    for i, f in enumerate(fields):
+        ref = fused_cde_solve(f, path, times, z0s[i], dt=0.1, method="rk4")
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
+                                   atol=1e-5)
+
+    # grad around vmap reaches per-member weights through the packed VJP
+    def loss(st):
+        zs = jax.vmap(
+            lambda f, zi: fused_cde_solve(f, path, times, zi, dt=0.1,
+                                          method="rk4")
+        )(st, z0s)
+        return jnp.sum(zs[:, -1] ** 2)
+
+    from snsde.nn.core import filter_value_and_grad, partition
+
+    def loss_seq(st):
+        zs = jnp.stack([
+            fused_cde_solve(
+                jax.tree_util.tree_map(lambda l: l[i], st), path, times,
+                z0s[i], dt=0.1, method="rk4")
+            for i in range(2)
+        ])
+        return jnp.sum(zs[:, -1] ** 2)
+
+    _, g1 = filter_value_and_grad(loss)(stacked)
+    _, g2 = filter_value_and_grad(loss_seq)(stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_cde_routed_vmap_too_wide_falls_back():
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting(C=50, H=3)
+    # K=4, NT=3, C=50 -> packed SW 600 > 512: warned scan fallback
+    fields = [_make_field("final_tanh", 50, 3, 9, 1, key=i)
+              for i in range(4)]
+    # per-member paths force the K*NT*C packed stream width
+    paths = [jax.tree_util.tree_map(lambda l: l, path) for _ in range(4)]
+    stacked = _stack_fields(fields)
+    stacked_paths = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *paths
+    )
+    z0s = jnp.stack([z0] * 4)
+    with pytest.warns(UserWarning, match="lane caps|scan"):
+        out = jax.vmap(
+            lambda f, p, zi: fused_cde_solve(f, p, times, zi, dt=0.1,
+                                             method="rk4")
+        )(stacked, stacked_paths, z0s)
+    ref = cdeint(path, fields[0], z0, times, dt=0.1, method="rk4")
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                               atol=1e-5)
