@@ -321,7 +321,8 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                 continue
 
             if (pack_seeds and len(pending) > 1
-                    and _SDE_GRID_RE_SWEEP.match(model_name)):
+                    and (_SDE_GRID_RE_SWEEP.match(model_name)
+                         or model_name == "neuralcde")):
                 seeds = [s for s, _ in pending]
                 t0 = time.time()
                 written = set()
@@ -429,8 +430,9 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
 
 @module
 class ISTSSeedEnsembleSDE(Module):
-    """K seeds of one `neuralsde_{i}_{j}` ISTS classifier solved through
-    ONE lane-packed fused kernel with PER-MEMBER control paths.
+    """K seeds of one `neuralsde_{i}_{j}` (or `neuralcde`) ISTS
+    classifier solved through ONE lane-packed fused kernel with
+    PER-MEMBER control paths.
 
     The reference sweep trains 5 seeds per (dataset, rate, model) cell in
     separate processes (model_run.py:294-305), where the seed changes the
@@ -477,24 +479,32 @@ class ISTSSeedEnsembleSDE(Module):
         return tree.replace(members=tuple(ms))
 
     def __call__(self, seqs, coeffs, *, key, train: bool = False):
-        from ..models.ensemble import packed_solve
+        from ..models.ensemble import packed_cde_solve, packed_solve
+        from ..models.neuralcde import NeuralCDEStream
         from ..ops.interp import CubicPath
 
         K = self.n_members
         L = seqs.shape[3]
         times = np.linspace(0.0, 1.0, L, dtype=np.float32)
         paths = [CubicPath(coeffs[k], times) for k in range(K)]
-        streams = [m.layer.inner for m in self.members]   # NeuralSDEStream
+        streams = [m.layer.inner for m in self.members]   # *Stream models
         t0 = jnp.asarray(times)[0]
         y0s = jnp.stack([
             s.initial_network(paths[k].evaluate(t0))
             for k, s in enumerate(streams)
         ])                                                # [K, B, H]
-        # one key per member; the packed ISTS head has no dropout, so no
-        # extra key is drawn (matches _model.py:66-80's head)
-        keys = list(jax.random.split(key, K))
-        zs = packed_solve([s.func for s in streams], paths[0], times, y0s,
-                          keys, method=self.method, paths=paths)
+        if isinstance(streams[0], NeuralCDEStream):
+            # deterministic CDE members (ncde sweep cells): one packed
+            # fused CDE solve with per-member control paths
+            zs = packed_cde_solve([s.func for s in streams], paths[0],
+                                  times, y0s, method=self.method,
+                                  paths=paths)
+        else:
+            # one key per member; the packed ISTS head has no dropout, so
+            # no extra key is drawn (matches _model.py:66-80's head)
+            keys = list(jax.random.split(key, K))
+            zs = packed_solve([s.func for s in streams], paths[0], times,
+                              y0s, keys, method=self.method, paths=paths)
         logits_all, new_members = [], []
         for k, m in enumerate(self.members):
             z = jnp.moveaxis(zs[k], 0, 1)                 # [B, L, H]

@@ -163,6 +163,43 @@ def packed_solve(fields, path, times, y0s, keys, *, method="euler",
     return jnp.stack(zs)
 
 
+def packed_cde_solve(funcs, path, times, z0s, *, method="rk4", dt=None,
+                     paths=None):
+    """K-member CDE solve dispatch (packed_solve's deterministic twin):
+    one lane-packed fused CDE kernel on TPU for supported
+    (field, tableau) pairs, per-member scan cdeint otherwise. `paths`
+    (list of K) gives each member its own control path. Returns
+    [K, L, B, H]."""
+    from .neuralsde import resolve_dt as _rdt
+
+    dt = _rdt(times, floor=0.0) if dt is None else dt
+    use_packed = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SNSDE_NO_FUSED", "0") != "1"
+    )
+    if use_packed:
+        from ..kernels.fused_cde import is_batched, supports_fused_cde
+        from ..kernels.multi import fused_cde_solve_packed, pack_cde_fields
+
+        if not is_batched(funcs, z0s, paths):
+            try:
+                packed = pack_cde_fields(list(funcs))
+            except ValueError:
+                packed = None
+            if packed is not None and supports_fused_cde(packed, method):
+                return fused_cde_solve_packed(list(funcs), path, times,
+                                              z0s, dt=dt, method=method,
+                                              paths=paths)
+    from ..ops.solve import cdeint
+
+    member_paths = paths if paths is not None else [path] * len(funcs)
+    zs = [
+        cdeint(member_paths[i], f, z0s[i], times, dt=dt, method=method)
+        for i, f in enumerate(funcs)
+    ]
+    return jnp.stack(zs)
+
+
 @module
 class IVMember(Module):
     """One seed replica of the sepsis InitialValue model: static-feature

@@ -235,3 +235,51 @@ def test_freeze_inactive_rest_pins_bn_buffers():
                     jax.tree_util.tree_leaves(new1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert n_checked > 0    # the members DO carry non-param buffers
+
+
+def test_packed_robustness_sweep_ncde_cell(tmp_path):
+    """pack_seeds=True now also packs `neuralcde` cells (deterministic
+    CDE members through packed_cde_solve, rk4 reference default)."""
+    from snsde.harness.robustness import SweepConfig, run_robustness_sweep
+
+    cfg = SweepConfig(models=("neuralcde",), missing_rates=(0.3,),
+                      seeds=(0, 1), hidden_dim=8, batch_size=32,
+                      max_epochs=2, out_dir=str(tmp_path))
+    res = run_robustness_sweep(cfg, n=96, verbose=False, pack_seeds=True)
+    assert len(res) == 2
+    for r in res:
+        assert "error" not in r, r
+        assert r["packed"] == 2
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["method"] == "rk4"        # NCDE reference default
+
+
+def test_packed_cde_solve_matches_per_member():
+    """packed_cde_solve (CPU fallback: per-member cdeint) == stacking
+    individual cdeint solves; with SNSDE_FUSED_INTERPRET the fused packed
+    path is pinned by tests/test_fused_cde.py."""
+    import numpy as np
+
+    from snsde.models.ensemble import packed_cde_solve
+    from snsde.models.neuralcde import FinalTanh
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+    from snsde.ops.solve import cdeint
+
+    rng = np.random.default_rng(0)
+    B, L, C, H = 6, 5, 3, 4
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    paths = []
+    for i in range(2):
+        x = rng.normal(size=(B, L, C)).astype(np.float32)
+        coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(x))
+        paths.append(CubicPath(coeffs, times))
+    funcs = [FinalTanh.create(jax.random.PRNGKey(i), C, H, 6, 1)
+             for i in range(2)]
+    z0s = jnp.asarray(rng.normal(size=(2, B, H)), jnp.float32)
+    zs = packed_cde_solve(funcs, paths[0], times, z0s, method="rk4",
+                          dt=0.2, paths=paths)
+    for i in range(2):
+        ref = cdeint(paths[i], funcs[i], z0s[i], times, dt=0.2,
+                     method="rk4")
+        np.testing.assert_allclose(np.asarray(zs[i]), np.asarray(ref),
+                                   atol=1e-6)
