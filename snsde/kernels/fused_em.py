@@ -144,7 +144,8 @@ _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 
 def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
             h_true: int = 0, traj_bf16: bool = False, merged: bool = False,
-            coalesce: bool = False, srk: bool = False):
+            coalesce: bool = False, srk: bool = False,
+            latent: bool = False):
     drift = _DRIFT_BY_IO[io]
     if merged and drift == "emb":
         # SNSDE_FUSED_MERGE: wy@we1 folded into one effective drift-input
@@ -191,6 +192,13 @@ def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
         "srows": srows,
         "elem": _ELEM_BY_NO.get(no),
         "mult_y": no in _MULT_Y_NO,
+        # LatentSDE augmented system (models/latent_sde.py f_aug/g_aug,
+        # reference torch-ists latent_sde.py:91-147): drift output is
+        # LINEAR (no tanh), diffusion is applied RAW (no sigmoid(theta)
+        # bounding), and lane h_true-1 accumulates the Girsanov KL rate
+        # 0.5*||(f - theta*(mu - y))/sigma||^2 (prior/posterior scalars
+        # ride the 'lsc' SMEM row)
+        "latent": latent,
         "mm_bf16": mm_bf16,
         # in-kernel Brownian sampling (hardware PRNG + Box–Muller): drops
         # the [M,B,H] dW HBM stream; h_true = unpadded hidden width so
@@ -232,6 +240,8 @@ def _fwd_input_names(cfg, n_inner):
         names += ["wn1", "an1"]
         if cfg["noise"] == "net2":
             names += ["wn2", "bn2"]
+    if cfg["latent"]:
+        names.append("lsc")
     names += (["seed"] if cfg["rng"] else ["dw"]) + ["dts"]
     if cfg["srows"]:
         names = [n for n in names if n not in cfg["srows"]]
@@ -279,11 +289,33 @@ def _drift_forward(cfg, n_inner, r, y, save=False):
         h = jnp.maximum(zz, 0.0)
         h_list.append(h)
     z3_lin = _dot(h, r["wout"][:], mm) + r["bo"][:]
+    if cfg["latent"]:
+        # LINEAR drift on the latent lanes (< h_true-1; wout's zero
+        # padding keeps the KL/padded lanes exactly zero) + the Girsanov
+        # KL rate 0.5*||(f - theta*(mu - y))/sigma||^2 on lane h_true-1
+        u, mlat, klhot = _latent_u(cfg, r, y, z3_lin)
+        rate = 0.5 * jnp.sum(u * u, axis=-1, keepdims=True)
+        f = z3_lin + rate * klhot
+        aux = (z1, h_list, z_list, z3_lin, None, f, yy, xh_blk)
+        return f, aux
     ty = jnp.tanh(y)
     z3 = z3_lin * ty if cfg["geometric"] else z3_lin
     f = jnp.tanh(z3)
     aux = (z1, h_list, z_list, z3_lin, ty, f, yy, xh_blk)
     return f, aux
+
+
+def _latent_u(cfg, r, y, z3_lin):
+    """(f - h_prior)/sigma on the true latent lanes (masked elsewhere),
+    plus the lane masks the latent branch shares between fwd and bwd."""
+    th = r["lsc"][0, 0]
+    mu = r["lsc"][0, 1]
+    inv_sig = r["lsc"][0, 2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    mlat = (lane < cfg["h_true"] - 1).astype(jnp.float32)
+    klhot = (lane == cfg["h_true"] - 1).astype(jnp.float32)
+    u = mlat * (z3_lin - th * (mu - y)) * inv_sig
+    return u, mlat, klhot
 
 
 def _noise_forward(cfg, r, y):
@@ -378,13 +410,25 @@ def _drift_bwd(cfg, n_inner, r, y, aux, df, o):
     the fused EM and SRK backward kernels."""
     mm = cfg["mm_bf16"]
     z1, h_list, z_list, z3_lin, ty, f, yy, xh_blk = aux
-    dz3 = df * (1.0 - f * f)
-    if cfg["geometric"]:
-        dz3_lin = dz3 * ty
-        dy_geo = dz3 * z3_lin * (1.0 - ty * ty)
+    if cfg["latent"]:
+        # f = z3_lin + 0.5*sum(u^2) * klhot with u = mlat*(z3_lin -
+        # th*(mu - y))/sig: the KL-lane cotangent fans out through u to
+        # BOTH z3_lin (via 1/sig) and y (via +th/sig)
+        u, mlat, klhot = _latent_u(cfg, r, y, z3_lin)
+        inv_sig = r["lsc"][0, 2]
+        th = r["lsc"][0, 0]
+        dkl = jnp.sum(df * klhot, axis=-1, keepdims=True)
+        du = dkl * u
+        dz3_lin = df * mlat + du * inv_sig
+        dy_geo = du * (th * inv_sig)
     else:
-        dz3_lin = dz3
-        dy_geo = jnp.zeros_like(y)
+        dz3 = df * (1.0 - f * f)
+        if cfg["geometric"]:
+            dz3_lin = dz3 * ty
+            dy_geo = dz3 * z3_lin * (1.0 - ty * ty)
+        else:
+            dz3_lin = dz3
+            dy_geo = jnp.zeros_like(y)
 
     o["dwout"][0] += _dot(h_list[-1].T, dz3_lin, mm)
     o["dbo"][0] += jnp.sum(dz3_lin, axis=0, keepdims=True)
@@ -509,7 +553,9 @@ def _fwd_kernel(cfg, n_inner, U, names, *refs):
         ru = _slice_step(r, u, cfg["srows"])
         f, _ = _drift_forward(cfg, n_inner, ru, y)
         graw, _, _ = _noise_forward(cfg, ru, y)
-        g = jnp.tanh(s_theta * graw)
+        # latent mode: diffusion applied raw (constant sigma, zero on the
+        # KL lane via the gk stream) — no sigmoid(theta)/tanh bounding
+        g = graw if cfg["latent"] else jnp.tanh(s_theta * graw)
         dw = dws[u] if cfg["rng"] else r["dw"][u].astype(jnp.float32)
         y = y + f * r["dts"][k * U + u, 0] + g * dw
         ys_ref[u] = y.astype(ys_ref.dtype)
@@ -547,6 +593,7 @@ def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
         **({"srow": srow_spec} if cfg["srows"] else {}),
         "seed": pl.BlockSpec(memory_space=pltpu.SMEM),
         "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
+        "lsc": pl.BlockSpec(memory_space=pltpu.SMEM),
         "theta": pl.BlockSpec((1, H), lambda b, k: (0, 0),
                               memory_space=pltpu.VMEM),
     }
@@ -670,7 +717,7 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         f, (z1, h_list, z_list, z3_lin, ty, f_, yy, xh_blk) = \
             _drift_forward(cfg, n_inner, ru, y)
         graw, base, naux = _noise_forward(cfg, ru, y)
-        g = jnp.tanh(s_theta * graw)
+        g = graw if cfg["latent"] else jnp.tanh(s_theta * graw)
 
         dt = r["dts"][(nk - 1 - k) * U + u, 0]
         dw = dws[u] if cfg["rng"] else r["dw"][u].astype(jnp.float32)
@@ -678,11 +725,14 @@ def _bwd_kernel(cfg, n_inner, U, in_names, out_names, *refs):
         # ---- backward through the step ----
         df = gbar * dt
         dg = gbar * dw
-        dsg = dg * (1.0 - g * g)
-        # d wrt s_theta and graw (per lane -> per-model under packing)
-        dth = dth + (jnp.sum(dsg * graw, axis=0, keepdims=True)
-                     * s_theta * (1.0 - s_theta))
-        dgraw = dsg * s_theta
+        if cfg["latent"]:
+            dgraw = dg                  # raw diffusion: no bounding chain
+        else:
+            dsg = dg * (1.0 - g * g)
+            # d wrt s_theta and graw (per lane -> per-model under packing)
+            dth = dth + (jnp.sum(dsg * graw, axis=0, keepdims=True)
+                         * s_theta * (1.0 - s_theta))
+            dgraw = dsg * s_theta
 
         dy_diff, nex = _noise_bwd(cfg, ru, y, base, naux, dgraw, o)
         dy_drift, dex = _drift_bwd(cfg, n_inner, ru, y,
@@ -1185,6 +1235,113 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         dts_list += [0.0] * pad_steps
     dts_tuple = tuple(dts_list)
     ys = _fused_em(params, streams, dW, y0p, dts_tuple, cfg_key,
+                   n_inner, U)
+    full = jnp.concatenate([y0p[None].astype(ys.dtype), ys[:M]], axis=0)
+    return full[jnp.asarray(out_idx)][..., :H].astype(jnp.float32)
+
+
+def fused_latent_em_solve(model, times, aug0, key, dt=None,
+                          stream_dtype=None):
+    """Fused EM solve of the LatentSDE AUGMENTED system (models/
+    latent_sde.py f_aug/g_aug; reference torch-ists latent_sde.py:91-147):
+    H-1 latent channels plus a Girsanov KL-rate accumulator on lane H-1,
+    the posterior drift MLP, OU prior and KL rate all computed on-chip.
+
+    model: models.latent_sde.LatentSDE. aug0: [B, H] augmented initial
+    state (latent + zero KL lane). Draws dW exactly like
+    sdeint(f_aug, g_aug, aug0, times, key=key) (kw = split(key)[0]), so
+    keyed parity with the scan path holds. theta/mu/sigma ride an SMEM
+    scalar row — they are non-trainable buffers in the reference and
+    here (sigma's pathwise gradient via the gk stream flows through the
+    precompute's autodiff; the lsc row carries no cotangent).
+    Returns ys [T, B, H] (KL total at ys[-1, :, H-1])."""
+    if stream_dtype is None:
+        stream_dtype = (
+            jnp.bfloat16
+            if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
+            else jnp.float32
+        )
+    from ..models.neuralsde import resolve_dt
+    from ..ops.brownian import brownian_increments
+    from ..ops.solve import make_grid
+
+    dt = resolve_dt(times) if dt is None else dt
+    grid, out_idx = make_grid(times, dt)
+    M = grid.shape[0] - 1
+    B, H = aug0.shape
+    HH = model.linear_out.in_features
+    Hp = _round_up(max(H, HH, 8), LANE)
+    n_inner = len(model.linears)
+    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    traj_bf16 = stream_dtype == jnp.bfloat16
+    coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
+    # io=3 -> 'yy' drift with sin/cos-t bias row; no=1 -> precomputed
+    # (constant) diffusion magnitude; latent=True flips the unbounded
+    # drift/diffusion + KL-lane semantics
+    cfg_key = (3, 1, mm_bf16, False, H, traj_bf16, False, coalesce,
+               False, True)
+    cfg = _config(*cfg_key)
+
+    kw, _ = jax.random.split(key)
+    dW = brownian_increments(kw, grid, (B, H), jnp.float32)
+    dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
+
+    t_lo = jnp.asarray(grid[:-1], jnp.float32)
+    tf = jnp.stack([jnp.sin(t_lo), jnp.cos(t_lo)], axis=-1)   # [M, 2]
+
+    w_in = model.linear_in.weight                  # [2 + (H-1), HH]
+    Wt, Wy = w_in[:2], w_in[2:]
+    a = _pdot(tf, Wt) + model.linear_in.bias       # [M, HH]
+    # zero rows for the KL lane + padding keep the KL channel out of the
+    # drift MLP (the reference evaluates f on state[..., :-1])
+    params = {
+        "theta": jnp.zeros((1, Hp), jnp.float32),  # unused in latent mode
+        "wy": _pad_to(_pad_to(Wy, Hp, 0), Hp, 1),
+        "w_inner": tuple(
+            _pad_to(_pad_to(l.weight, Hp, 0), Hp, 1) for l in model.linears
+        ),
+        "b_inner": tuple(
+            _pad_to(l.bias, Hp, 0)[None] for l in model.linears
+        ),
+        "wout": _pad_to(_pad_to(model.linear_out.weight, Hp, 0), Hp, 1),
+        "bo": _pad_to(model.linear_out.bias, Hp, 0)[None],
+    }
+    sigma = model.sigma.value[0, 0].astype(jnp.float32)
+    theta = model.theta.value[0, 0].astype(jnp.float32)
+    mu = model.mu.value[0, 0].astype(jnp.float32)
+    lane_ok = (jnp.arange(Hp) < H - 1).astype(jnp.float32)
+    gk_row = (sigma * lane_ok)[None, :]            # [1, Hp], 0 on KL lane
+    streams = {
+        "a": _pad_to(a, Hp, 1)[:, None, :],
+        "gk": jnp.broadcast_to(gk_row[None], (M, 1, Hp)),
+        "lsc": jnp.stack([theta, mu, 1.0 / sigma]).reshape(1, 3),
+    }
+    if cfg["srows"]:
+        streams["srow"] = jnp.concatenate(
+            [streams.pop(n) for n in cfg["srows"]], axis=1)
+    if mm_bf16:
+        for k_ in ("wy", "wout"):
+            params[k_] = params[k_].astype(jnp.bfloat16)
+        params["w_inner"] = tuple(
+            w.astype(jnp.bfloat16) for w in params["w_inner"]
+        )
+
+    y0p = _pad_to(aug0.astype(jnp.float32), Hp, 1)
+
+    U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
+    U = max(1, min(U, M))
+    Mp = _round_up(M, U)
+    pad_steps = Mp - M
+    dts_list = np.diff(grid).astype(np.float32).tolist()
+    if pad_steps:
+        dW = jnp.pad(dW, ((0, pad_steps), (0, 0), (0, 0)))
+        streams = {
+            k: (jnp.pad(v, ((0, pad_steps),) + ((0, 0),) * (v.ndim - 1))
+                if k != "lsc" else v)
+            for k, v in streams.items()
+        }
+        dts_list += [0.0] * pad_steps
+    ys = _fused_em(params, streams, dW, y0p, tuple(dts_list), cfg_key,
                    n_inner, U)
     full = jnp.concatenate([y0p[None].astype(ys.dtype), ys[:M]], axis=0)
     return full[jnp.asarray(out_idx)][..., :H].astype(jnp.float32)

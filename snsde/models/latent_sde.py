@@ -142,6 +142,8 @@ class LatentSDE(Module):
 
     def __call__(self, coeffs, times, *, key, dt=None, method=None, bm=None):
         """Returns (out [B,L,H], latent [B,L,H-1], logqp scalar)."""
+        import os
+
         path = CubicPath(coeffs, times)
         y0 = path.evaluate(jnp.asarray(times)[0])        # [B, C]
         aug0 = self.initial_network(y0)
@@ -150,8 +152,20 @@ class LatentSDE(Module):
             [aug0, jnp.zeros((B, 1), aug0.dtype)], axis=-1
         )
         dt = resolve_dt(times) if dt is None else dt
-        ys = sdeint(self.f_aug, self.g_aug, aug0, times, key=key, dt=dt,
-                    method=method or self.method, bm=bm)  # [L, B, H]
+        method = method or self.method
+        ys = None
+        if (method == "euler" and bm is None
+                and os.environ.get("SNSDE_NO_FUSED", "0") != "1"
+                and jax.default_backend() == "tpu"):
+            # the fused EM kernel's latent mode runs the augmented system
+            # (drift MLP + OU prior + KL rate) entirely on-chip
+            from ..kernels.fused_em import fused_latent_em_solve, is_batched
+
+            if not is_batched(self, coeffs, key):
+                ys = fused_latent_em_solve(self, times, aug0, key, dt=dt)
+        if ys is None:
+            ys = sdeint(self.f_aug, self.g_aug, aug0, times, key=key,
+                        dt=dt, method=method, bm=bm)      # [L, B, H]
         ys = jnp.moveaxis(ys, 0, 1)                       # [B, L, H]
         latent = ys[..., :-1]
         logqp_path = ys[:, -1, -1]                        # final accumulator

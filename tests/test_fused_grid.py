@@ -529,3 +529,95 @@ def test_srk_lane_packed_per_member_paths(setting):
                                keys[i], dt=dt)
         np.testing.assert_allclose(np.asarray(ys_packed[i]),
                                    np.asarray(ys_i), atol=1e-5)
+
+
+def test_fused_latent_matches_scan():
+    """The fused EM kernel's latent mode (unbounded drift/diffusion,
+    on-chip Girsanov KL-rate lane) matches the scan f_aug/g_aug solve on
+    the same keyed Brownian draw — trajectory AND the KL accumulator."""
+    from snsde.kernels.fused_em import fused_latent_em_solve
+    from snsde.models.latent_sde import LatentSDE
+
+    rng = np.random.default_rng(3)
+    B, L, C, H = 8, 6, 3, 6
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    model = LatentSDE.create(jax.random.PRNGKey(1), C, H, 7, 2,
+                             method="euler")
+    aug0 = jnp.asarray(rng.normal(size=(B, H - 1)), jnp.float32)
+    aug0 = jnp.concatenate([aug0, jnp.zeros((B, 1))], axis=-1)
+    key = jax.random.PRNGKey(5)
+    dt = resolve_dt(times)
+    ys_fused = fused_latent_em_solve(model, times, aug0, key, dt=dt)
+    ys_scan = sdeint(model.f_aug, model.g_aug, aug0, times, key=key,
+                     dt=dt, method="euler")
+    np.testing.assert_allclose(np.asarray(ys_fused), np.asarray(ys_scan),
+                               atol=3e-5)
+    # the KL lane is non-trivial
+    assert float(jnp.abs(ys_scan[-1, :, -1]).max()) > 1e-4
+
+
+def test_fused_latent_gradients_match_scan():
+    from snsde.kernels.fused_em import fused_latent_em_solve
+    from snsde.models.latent_sde import LatentSDE
+
+    rng = np.random.default_rng(4)
+    B, L, C, H = 8, 6, 3, 6
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    model = LatentSDE.create(jax.random.PRNGKey(2), C, H, 7, 2,
+                             method="euler")
+    aug0 = jnp.asarray(rng.normal(size=(B, H - 1)), jnp.float32)
+    aug0 = jnp.concatenate([aug0, jnp.zeros((B, 1))], axis=-1)
+    key = jax.random.PRNGKey(9)
+    dt = resolve_dt(times)
+
+    # ELBO-shaped loss: terminal latent MSE + the KL accumulator
+    def loss_fused(m):
+        ys = fused_latent_em_solve(m, times, aug0, key, dt=dt)
+        return jnp.sum(ys[-1, :, :-1] ** 2) + jnp.sum(ys[-1, :, -1])
+
+    def loss_scan(m):
+        ys = sdeint(m.f_aug, m.g_aug, aug0, times, key=key, dt=dt,
+                    method="euler")
+        return jnp.sum(ys[-1, :, :-1] ** 2) + jnp.sum(ys[-1, :, -1])
+
+    _, g1 = filter_value_and_grad(loss_fused)(model)
+    _, g2 = filter_value_and_grad(loss_scan)(model)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+        compared += 1
+    assert compared >= 5        # linear_in/out + inners + biases
+
+
+def test_latent_sde_model_parity_scan_vs_fused_dispatch(monkeypatch):
+    """LatentSDE.__call__ returns identical (out, latent, logqp) whether
+    the fused latent kernel (interpret) or the scan path runs."""
+    from snsde.models.latent_sde import LatentSDE
+    from snsde.ops.interp import hermite_cubic_coeffs
+
+    rng = np.random.default_rng(5)
+    B, L, C, H = 6, 5, 3, 6
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(x))
+    model = LatentSDE.create(jax.random.PRNGKey(3), C, H, 7, 1,
+                             method="euler")
+    key = jax.random.PRNGKey(11)
+    out_s, lat_s, kl_s = model(coeffs, times, key=key)   # scan (CPU)
+
+    import snsde.models.latent_sde as lsde_mod
+    from snsde.kernels.fused_em import fused_latent_em_solve
+
+    # force the fused branch without a TPU backend (interpret mode)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        out_f, lat_f, kl_f = model(coeffs, times, key=key)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               atol=3e-5)
+    np.testing.assert_allclose(float(kl_f), float(kl_s), atol=3e-5)
