@@ -322,7 +322,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
 
             if (pack_seeds and len(pending) > 1
                     and (_SDE_GRID_RE_SWEEP.match(model_name)
-                         or model_name == "neuralcde")):
+                         or model_name in ("neuralcde", "gru-ode"))):
                 seeds = [s for s, _ in pending]
                 t0 = time.time()
                 written = set()

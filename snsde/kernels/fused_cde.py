@@ -160,9 +160,24 @@ def _act_deriv(cfg, z, h):
 
 
 def _field_forward(cfg, r, y, d, tj):
-    """One vector-field evaluation k = (tanh(MLP(y)) * (d @ E_tj)) @ S.
-    Returns (k, aux) with the intermediates the backward needs."""
+    """One vector-field evaluation k = (O(y) * (d @ E_tj)) @ S with O the
+    flat h-major field output (tanh-MLP for FinalTanh/SingleHiddenLayer,
+    continuous GRU gating for GRU_ODE). Returns (k, aux) with the
+    intermediates the backward needs."""
     mm = cfg["mm_bf16"]
+    if cfg["act"] == "gruode":
+        # GRU-ODE field (reference vector_fields.py GRU_ODE):
+        # O = (1 - sigmoid(zu)) * (tanh(sigmoid(zr) * zh) - z_expand),
+        # where z_expand[b, h*C+c] = y[b, h] rides the S one-hot transpose
+        rg = jax.nn.sigmoid(_dot(y, r["wr"][:], mm) + r["br"][:])
+        ug = jax.nn.sigmoid(_dot(y, r["wz"][:], mm) + r["bz"][:])
+        zh = _dot(y, r["wh"][:], mm) + r["bh"][:]
+        gg = jnp.tanh(rg * zh)
+        zx = _dot(y, r["smat"][:].T, mm)
+        o_mat = (1.0 - ug) * (gg - zx)
+        dx = _dot(d, r[f"e{tj}"][:], mm)
+        k = _dot(o_mat * dx, r["smat"][:], mm)
+        return k, (rg, ug, zh, gg, zx, o_mat, dx)
     z1 = _dot(y, r["win"][:], mm) + r["bin"][:]
     h = _act(cfg, z1)
     z_list, h_list = [z1], [h]
@@ -183,6 +198,30 @@ def _field_bwd(cfg, r, y, aux, dk, o):
     weight grads into o; returns (dy, dd) — dd is this stage's cotangent
     of the packed control row (caller adds across stages)."""
     mm = cfg["mm_bf16"]
+    if cfg["act"] == "gruode":
+        rg, ug, zh, gg, zx, o_mat, dx = aux
+        dp = _dot(dk, r["smat"][:].T, mm)
+        do = dp * dx
+        ddx = dp * o_mat
+        dug = -do * (gg - zx)
+        dgg = do * (1.0 - ug)
+        dzx = -do * (1.0 - ug)
+        dgate = dgg * (1.0 - gg * gg)
+        drg = dgate * zh
+        dzh = dgate * rg
+        dzr = drg * rg * (1.0 - rg)
+        dzu = dug * ug * (1.0 - ug)
+        o["dwr"][0] += _dot(y.T, dzr, mm)
+        o["dbr"][0] += jnp.sum(dzr, axis=0, keepdims=True)
+        o["dwz"][0] += _dot(y.T, dzu, mm)
+        o["dbz"][0] += jnp.sum(dzu, axis=0, keepdims=True)
+        o["dwh"][0] += _dot(y.T, dzh, mm)
+        o["dbh"][0] += jnp.sum(dzh, axis=0, keepdims=True)
+        dy = (_dot(dzr, r["wr"][:].T, mm)
+              + _dot(dzu, r["wz"][:].T, mm)
+              + _dot(dzh, r["wh"][:].T, mm)
+              + _dot(dzx, r["smat"][:], mm))
+        return dy, ddx
     z_list, h_list, o_mat, dx = aux
     dp = _dot(dk, r["smat"][:].T, mm)
     do = dp * dx
@@ -208,12 +247,14 @@ def _field_bwd(cfg, r, y, aux, dk, o):
 # ---------------------------------------------------------------------------
 
 def _param_names(cfg):
-    return (["win", "bin"]
-            + [f"w_inner{i}" for i in range(cfg["n_inner"])]
-            + [f"b_inner{i}" for i in range(cfg["n_inner"])]
-            + ["wout", "bout"]
-            + [f"e{j}" for j in range(len(cfg["ut"]))]
-            + ["smat"])
+    if cfg["act"] == "gruode":
+        core = ["wr", "br", "wz", "bz", "wh", "bh"]
+    else:
+        core = (["win", "bin"]
+                + [f"w_inner{i}" for i in range(cfg["n_inner"])]
+                + [f"b_inner{i}" for i in range(cfg["n_inner"])]
+                + ["wout", "bout"])
+    return core + [f"e{j}" for j in range(len(cfg["ut"]))] + ["smat"]
 
 
 def _specs_for(names, cfg, nk, block_b, U, reverse=False):
@@ -237,6 +278,10 @@ def _specs_for(names, cfg, nk, block_b, U, reverse=False):
         "wout": const((HHp, CHp)),
         "bout": const((1, CHp)),
         "smat": const((CHp, Hp)),
+        # GRU-ODE gate projections (H -> H*C, h-major)
+        "wr": const((Hp, CHp)), "br": const((1, CHp)),
+        "wz": const((Hp, CHp)), "bz": const((1, CHp)),
+        "wh": const((Hp, CHp)), "bh": const((1, CHp)),
     }
     for i in range(cfg["n_inner"]):
         by_name[f"w_inner{i}"] = const((HHp, HHp))
@@ -380,6 +425,8 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
 
 
 def _bwd_output_names(cfg):
+    if cfg["act"] == "gruode":
+        return ["dwr", "dbr", "dwz", "dbz", "dwh", "dbh", "ddx", "dz0"]
     return (["dwin", "dbin"]
             + [f"dw_inner{i}" for i in range(cfg["n_inner"])]
             + [f"db_inner{i}" for i in range(cfg["n_inner"])]
@@ -422,6 +469,9 @@ def _fused_cde_backward(params, dx, dts, z0, ys, gys, *, cfg, block_b,
     for i in range(cfg["n_inner"]):
         shape_by[f"dw_inner{i}"] = acc((HHp, HHp))
         shape_by[f"db_inner{i}"] = acc((1, HHp))
+    for g_ in ("r", "z", "h"):
+        shape_by[f"dw{g_}"] = acc((Hp, CHp))
+        shape_by[f"db{g_}"] = acc((1, CHp))
 
     out_shapes, out_specs = [], []
     for n in out_names:
@@ -503,12 +553,15 @@ def _field_kind(func):
     kind = getattr(func, "fused_cde_kind", None)
     if kind is not None:
         return kind
-    from ..models.neuralcde import FinalTanh, SingleHiddenLayer
+    from ..models.neuralcde import (FinalTanh, GRUODEField,
+                                    SingleHiddenLayer)
 
     if isinstance(func, FinalTanh):
         return "relu", len(func.linears)
     if isinstance(func, SingleHiddenLayer):
         return "tanh", 0
+    if isinstance(func, GRUODEField):
+        return "gruode", 0
     return None
 
 
@@ -523,18 +576,22 @@ def supports_fused_cde(func, method: str = "rk4") -> bool:
     if kind is None:
         return False
     H, C = func.hidden_channels, func.input_channels
+    Hp = _round_up(max(H, 8), LANE)
     if kind[0] == "relu":
         HH = func.linear_in.out_features
-    else:
+    elif kind[0] == "tanh":
         HH = func.linear1.out_features
+    else:                              # gruode: three H -> H*C gates
+        HH = H
     members = getattr(func, "fused_cde_members", 1)
     uniq, _ = _stage_times(method)
     CHp = _round_up(H * C, LANE)
     HHp = _round_up(max(HH, 8), LANE)
+    wide_rows = Hp if kind[0] == "gruode" else HHp
     return (CHp <= _MAX_LANES
-            and _round_up(max(H, 8), LANE) <= 512
+            and Hp <= 512
             and _round_up(members * len(uniq) * C, LANE) <= 512
-            and HHp * CHp * 4 <= _MAX_WOUT_BYTES)
+            and wide_rows * CHp * 4 <= _MAX_WOUT_BYTES)
 
 
 def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
@@ -585,10 +642,15 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
     if act == "relu":
         lin_in, lin_out = func.linear_in, func.linear_out
         inners = func.linears
-    else:
+        HH = lin_in.out_features
+    elif act == "tanh":
         lin_in, lin_out = func.linear1, func.linear2
         inners = ()
-    HH = lin_in.out_features
+        HH = lin_in.out_features
+    else:                              # gruode
+        lin_in = lin_out = None
+        inners = ()
+        HH = H
 
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
@@ -616,15 +678,22 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
         dx = _pad_to(dvals.reshape(M, B, NT * C), SW, 2).astype(
             stream_dtype)
 
-    params = {
-        "win": _pad_to(_pad_to(lin_in.weight, Hp, 0), HHp, 1),
-        "bin": _pad_to(lin_in.bias, HHp, 0)[None],
-        "wout": _pad_to(_pad_to(lin_out.weight, HHp, 0), CHp, 1),
-        "bout": _pad_to(lin_out.bias, CHp, 0)[None],
-    }
-    for i, lin in enumerate(inners):
-        params[f"w_inner{i}"] = _pad_to(_pad_to(lin.weight, HHp, 0), HHp, 1)
-        params[f"b_inner{i}"] = _pad_to(lin.bias, HHp, 0)[None]
+    if act == "gruode":
+        params = {}
+        for nm, lin in (("r", func.W_r), ("z", func.W_z), ("h", func.W_h)):
+            params[f"w{nm}"] = _pad_to(_pad_to(lin.weight, Hp, 0), CHp, 1)
+            params[f"b{nm}"] = _pad_to(lin.bias, CHp, 0)[None]
+    else:
+        params = {
+            "win": _pad_to(_pad_to(lin_in.weight, Hp, 0), HHp, 1),
+            "bin": _pad_to(lin_in.bias, HHp, 0)[None],
+            "wout": _pad_to(_pad_to(lin_out.weight, HHp, 0), CHp, 1),
+            "bout": _pad_to(lin_out.bias, CHp, 0)[None],
+        }
+        for i, lin in enumerate(inners):
+            params[f"w_inner{i}"] = _pad_to(_pad_to(lin.weight, HHp, 0),
+                                            HHp, 1)
+            params[f"b_inner{i}"] = _pad_to(lin.bias, HHp, 0)[None]
 
     z0p = _pad_to(z0.astype(jnp.float32), Hp, 1)
 

@@ -456,9 +456,13 @@ def pack_cde_fields(funcs):
         )
         lin_out = bd([f.linear_out for f in funcs])
         extra = dict(linear_in=lin_in, linears=inners, linear_out=lin_out)
-    else:
+    elif act == "tanh":
         extra = dict(linear1=bd([f.linear1 for f in funcs]),
                      linear2=bd([f.linear2 for f in funcs]))
+    else:                              # gruode: three H -> H*C gates
+        extra = dict(W_r=bd([f.W_r for f in funcs]),
+                     W_z=bd([f.W_z for f in funcs]),
+                     W_h=bd([f.W_h for f in funcs]))
     return _ns(
         fused_cde_kind=kind0,
         fused_cde_members=K,
@@ -541,8 +545,12 @@ def route_vmapped_cde(func, path, times, z0, dt, method, stream_dtype):
         fb, pb, zb = in_batched
         H = func_b.hidden_channels
         kind = _field_kind(func_b)
-        HH = (func_b.linear_in if kind[0] == "relu"
-              else func_b.linear1).out_features
+        if kind[0] == "relu":
+            HH = func_b.linear_in.out_features
+        elif kind[0] == "tanh":
+            HH = func_b.linear1.out_features
+        else:                          # gruode
+            HH = H
         C = func_b.input_channels
         NT = len(_stage_times(method)[0])
         nested = is_batched(func_b, path_b, z0_b)

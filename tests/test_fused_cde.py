@@ -319,3 +319,60 @@ def test_fused_cde_routed_vmap_too_wide_falls_back():
     ref = cdeint(path, fields[0], z0, times, dt=0.1, method="rk4")
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_fused_cde_gruode_matches_scan():
+    """The GRU-ODE vector field (continuous GRU gating, reference
+    vector_fields.py GRU_ODE) through the fused kernel == scan cdeint,
+    forward and gradients (incl. the state-expand z @ S^T chain)."""
+    from snsde.kernels.fused_cde import fused_cde_solve, supports_fused_cde
+    from snsde.models.neuralcde import GRUODEField
+
+    path, times, z0 = _setting()
+    func = GRUODEField.create(jax.random.PRNGKey(4), 3, 5)
+    assert supports_fused_cde(func, "rk4")
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=0.09, method="rk4")
+    zs_scan = cdeint(path, func, z0, times, dt=0.09, method="rk4")
+    np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
+                               atol=3e-5)
+
+    def loss_fused(fld):
+        return jnp.sum(
+            fused_cde_solve(fld, path, times, z0, dt=0.09,
+                            method="rk4")[-1] ** 2
+        )
+
+    def loss_scan(fld):
+        return jnp.sum(
+            cdeint(path, fld, z0, times, dt=0.09, method="rk4")[-1] ** 2
+        )
+
+    _, g1 = filter_value_and_grad(loss_fused)(func)
+    _, g2 = filter_value_and_grad(loss_scan)(func)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+        compared += 1
+    assert compared >= 6               # 3 gate weights + 3 biases
+
+
+def test_fused_cde_gruode_packed():
+    from snsde.kernels.fused_cde import fused_cde_solve
+    from snsde.kernels.multi import fused_cde_solve_packed
+    from snsde.models.neuralcde import GRUODEField
+
+    path, times, z0 = _setting()
+    funcs = [GRUODEField.create(jax.random.PRNGKey(i), 3, 5)
+             for i in range(2)]
+    z0s = jnp.stack([z0, z0 - 0.4])
+    zs_packed = fused_cde_solve_packed(funcs, path, times, z0s, dt=0.09,
+                                       method="rk4")
+    for i, f in enumerate(funcs):
+        ref = fused_cde_solve(f, path, times, z0s[i], dt=0.09,
+                              method="rk4")
+        np.testing.assert_allclose(np.asarray(zs_packed[i]),
+                                   np.asarray(ref), atol=1e-5)
