@@ -547,9 +547,9 @@ _fused_cde.defvjp(_fused_cde_fwd, _fused_cde_bwd)
 
 def _field_kind(func):
     """('relu', n_inner) for FinalTanh, ('tanh', 0) for SingleHiddenLayer,
-    None for anything else (GRU-ODE fields etc. stay on the scan path).
-    Lane-packed synthetic fields (kernels/multi.py) carry an explicit
-    `fused_cde_kind` attribute."""
+    ('gruode', 0) for GRUODEField, None for anything else (unknown fields
+    stay on the scan path). Lane-packed synthetic fields
+    (kernels/multi.py) carry an explicit `fused_cde_kind` attribute."""
     kind = getattr(func, "fused_cde_kind", None)
     if kind is not None:
         return kind
@@ -587,11 +587,16 @@ def supports_fused_cde(func, method: str = "rk4") -> bool:
     uniq, _ = _stage_times(method)
     CHp = _round_up(H * C, LANE)
     HHp = _round_up(max(HH, 8), LANE)
-    wide_rows = Hp if kind[0] == "gruode" else HHp
+    # gruode keeps THREE [Hp, CHp] gate weights VMEM-resident (plus their
+    # gradient accumulators in the backward), so its budget scales by 3
+    if kind[0] == "gruode":
+        wide_bytes = 3 * Hp * CHp * 4
+    else:
+        wide_bytes = HHp * CHp * 4
     return (CHp <= _MAX_LANES
             and Hp <= 512
             and _round_up(members * len(uniq) * C, LANE) <= 512
-            and wide_rows * CHp * 4 <= _MAX_WOUT_BYTES)
+            and wide_bytes <= _MAX_WOUT_BYTES)
 
 
 def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",

@@ -428,8 +428,8 @@ def pack_cde_fields(funcs):
 
     kind0 = _field_kind(funcs[0])
     if kind0 is None:
-        raise ValueError("pack_cde_fields needs FinalTanh or "
-                         "SingleHiddenLayer members")
+        raise ValueError("pack_cde_fields needs FinalTanh, "
+                         "SingleHiddenLayer or GRUODEField members")
     for f in funcs[1:]:
         if (_field_kind(f) != kind0
                 or f.hidden_channels != funcs[0].hidden_channels
@@ -531,8 +531,8 @@ def route_vmapped_cde(func, path, times, z0, dt, method, stream_dtype):
     from jax.custom_batching import custom_vmap
 
     from ..ops.solve import cdeint
-    from .fused_cde import (_field_kind, _round_up, _stage_times,
-                            fused_cde_solve, is_batched, supports_fused_cde)
+    from .fused_cde import (_MAX_WOUT_BYTES, _field_kind, _round_up,
+                            _stage_times, fused_cde_solve, is_batched)
 
     @custom_vmap
     def core(func, path, z0):
@@ -556,9 +556,18 @@ def route_vmapped_cde(func, path, times, z0, dt, method, stream_dtype):
         nested = is_batched(func_b, path_b, z0_b)
         per_member_paths = any(jax.tree_util.tree_leaves(pb))
         packed_sw = _round_up((K if per_member_paths else 1) * NT * C, 128)
+        # mirror supports_fused_cde's guards at the PACKED widths — the
+        # per-member check alone would route VMEM-blowing packs into a
+        # Mosaic compile failure instead of the warned scan fallback
+        chp_p = _round_up(K * H * C, 128)
+        if kind[0] == "gruode":
+            wide_bytes_p = 3 * _round_up(K * H, 128) * chp_p * 4
+        else:
+            wide_bytes_p = _round_up(K * HH, 128) * chp_p * 4
         too_wide = (K * max(H, HH) > MAX_PACKED_LANES
-                    or _round_up(K * H * C, 128) > 4096
-                    or packed_sw > 512)
+                    or chp_p > 4096
+                    or packed_sw > 512
+                    or wide_bytes_p > _MAX_WOUT_BYTES)
         if nested or too_wide:
             warnings.warn(
                 ("nested vmap over a fused cde solve" if nested else

@@ -196,7 +196,12 @@ def test_supports_fused_cde_guards():
     assert supports_fused_cde(func, "rk4")
     assert not supports_fused_cde(func, "dopri5")       # adaptive -> scan
     gru = GRUODEField.create(jax.random.PRNGKey(0), 3, 5)
-    assert not supports_fused_cde(gru, "rk4")           # field kind
+    assert supports_fused_cde(gru, "rk4")               # gruode field kind
+    # gruode keeps THREE [Hp, H*C] gate weights VMEM-resident -> the
+    # budget trips at widths a FinalTanh of the same shape still passes
+    gru_wide = GRUODEField.create(jax.random.PRNGKey(0), 32, 128)
+    assert not supports_fused_cde(gru_wide, "rk4")
+    assert not supports_fused_cde(object(), "rk4")      # unknown field kind
     huge = _make_field("final_tanh", 200, 64, 16, 0)    # H*C = 12800 lanes
     assert not supports_fused_cde(huge, "rk4")
 

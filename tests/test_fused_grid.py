@@ -609,15 +609,14 @@ def test_latent_sde_model_parity_scan_vs_fused_dispatch(monkeypatch):
     key = jax.random.PRNGKey(11)
     out_s, lat_s, kl_s = model(coeffs, times, key=key)   # scan (CPU)
 
-    import snsde.models.latent_sde as lsde_mod
-    from snsde.kernels.fused_em import fused_latent_em_solve
-
     # force the fused branch without a TPU backend (interpret mode)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     try:
         out_f, lat_f, kl_f = model(coeffs, times, key=key)
     finally:
         monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(lat_f), np.asarray(lat_s),
+                               atol=3e-5)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
                                atol=3e-5)
     np.testing.assert_allclose(float(kl_f), float(kl_s), atol=3e-5)
