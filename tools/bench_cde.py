@@ -1,11 +1,13 @@
-"""Fused CDE kernel throughput A/B (fused Pallas vs scan cdeint).
+"""Fused CDE/latent kernel throughput A/B (fused Pallas vs scan).
 
-Measures the NCDE training step (fwd+bwd+Adam, same scanned loop as
-bench.py) through the public NeuralCDE model, fused vs SNSDE_NO_FUSED=1,
-at the shapes the reference's NCDE workloads actually run:
-  * uea_rk4   — torch-ists sweep-like cell (B=1024, L=72, C=6,  H=32)
-  * sepsis_rk4 — sepsis-like channels      (B=1024, L=72, C=35, H=32)
-  * uea_euler — cheapest tableau at the sweep shape
+Measures the training step (fwd+bwd+Adam, same scanned loop as bench.py)
+through the public models, fused vs SNSDE_NO_FUSED=1, at the shapes the
+reference's workloads actually run:
+  * uea_rk4    — torch-ists ncde sweep cell  (B=1024, L=72, C=6,  H=32)
+  * sepsis_rk4 — sepsis-like channels        (B=1024, L=72, C=35, H=32)
+  * uea_euler  — cheapest tableau at the sweep shape
+  * gruode_rk4 — the GRU-ODE field kind at the sweep shape
+  * latent_em  — LatentSDE (fused EM latent mode), sweep-like shape
 
 Each config runs fused THEN scan in one process and reports the ratio.
 Writes BENCH_CDE.json. Usage:
@@ -20,12 +22,14 @@ import time
 import numpy as np
 
 
-def bench_one(name, method, B, L, C, H, layers=2, iters=30):
+def bench_one(name, method, B, L, C, H, layers=2, iters=30,
+              field="final_tanh"):
     import jax
     import jax.numpy as jnp
     import optax
 
-    from snsde.models.neuralcde import FinalTanh, NeuralCDE
+    from snsde.models.latent_sde import LatentSDE
+    from snsde.models.neuralcde import FinalTanh, GRUODEField, NeuralCDE
     from snsde.nn.core import combine, filter_value_and_grad, partition
     from snsde.ops.interp import hermite_cubic_coeffs
     from snsde.train.loop import bce_with_logits
@@ -41,16 +45,31 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30):
     y = jnp.asarray((rng.random(B) < 0.3).astype(np.float32))
     final_index = jnp.full((B,), L - 1, jnp.int32)
 
-    func = FinalTanh.create(jax.random.fold_in(key, 1), C, H, H, layers)
-    model = NeuralCDE.create(jax.random.fold_in(key, 2), func, C, H, 1,
-                             method=method)
+    if field == "latent":
+        model = LatentSDE.create(jax.random.fold_in(key, 1), C, H, H,
+                                 layers, method=method)
+
+        def loss_fn(m, coeffs, y, key):
+            out, _, logqp = m(coeffs, times, key=key)
+            return (bce_with_logits(out[:, -1, 0], y) + 1e-4 * logqp,
+                    m)
+    else:
+        if field == "gruode":
+            func = GRUODEField.create(jax.random.fold_in(key, 1), C, H)
+        else:
+            func = FinalTanh.create(jax.random.fold_in(key, 1), C, H, H,
+                                    layers)
+        model = NeuralCDE.create(jax.random.fold_in(key, 2), func, C, H, 1,
+                                 method=method)
+
+        def loss_fn(m, coeffs, y, key):
+            logits, new_m = m(times, coeffs, final_index, key=key,
+                              train=True)
+            return bce_with_logits(logits[..., 0], y), new_m
+
     tx = optax.flatten(optax.adamw(1e-3, weight_decay=0.01))
     params, _ = partition(model)
     opt_state = tx.init(params)
-
-    def loss_fn(m, coeffs, y, key):
-        logits, new_m = m(times, coeffs, final_index, key=key, train=True)
-        return bce_with_logits(logits[..., 0], y), new_m
 
     vg = filter_value_and_grad(loss_fn, has_aux=True)
 
@@ -84,6 +103,10 @@ CONFIGS = {
     "uea_rk4": dict(method="rk4", B=1024, L=72, C=6, H=32),
     "sepsis_rk4": dict(method="rk4", B=1024, L=72, C=35, H=32),
     "uea_euler": dict(method="euler", B=1024, L=72, C=6, H=32),
+    "gruode_rk4": dict(method="rk4", B=1024, L=72, C=6, H=32,
+                       field="gruode"),
+    "latent_em": dict(method="euler", B=1024, L=72, C=6, H=32,
+                      field="latent"),
 }
 
 
