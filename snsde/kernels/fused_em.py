@@ -145,7 +145,7 @@ _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
             h_true: int = 0, traj_bf16: bool = False, merged: bool = False,
             coalesce: bool = False, srk: bool = False,
-            latent: bool = False):
+            latent: bool = False, lat_hm: int = 0):
     drift = _DRIFT_BY_IO[io]
     if merged and drift == "emb":
         # SNSDE_FUSED_MERGE: wy@we1 folded into one effective drift-input
@@ -195,10 +195,14 @@ def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
         # LatentSDE augmented system (models/latent_sde.py f_aug/g_aug,
         # reference torch-ists latent_sde.py:91-147): drift output is
         # LINEAR (no tanh), diffusion is applied RAW (no sigmoid(theta)
-        # bounding), and lane h_true-1 accumulates the Girsanov KL rate
-        # 0.5*||(f - theta*(mu - y))/sigma||^2 (prior/posterior scalars
-        # ride the 'lsc' SMEM row)
+        # bounding), and each member's last lane accumulates the Girsanov
+        # KL rate 0.5*||(f - theta*(mu - y))/sigma||^2. theta/mu/1/sigma
+        # ride per-lane rows ('lth'/'lmu'/'lis') and the rate scatter is
+        # the one-hot 'klm' matmul — both member-aware, so lane-packed
+        # multi-model latent solves work. lat_hm = per-member augmented
+        # width (== h_true for a single model).
         "latent": latent,
+        "lat_hm": lat_hm if lat_hm else h_true,
         "mm_bf16": mm_bf16,
         # in-kernel Brownian sampling (hardware PRNG + Box–Muller): drops
         # the [M,B,H] dW HBM stream; h_true = unpadded hidden width so
@@ -241,7 +245,7 @@ def _fwd_input_names(cfg, n_inner):
         if cfg["noise"] == "net2":
             names += ["wn2", "bn2"]
     if cfg["latent"]:
-        names.append("lsc")
+        names += ["lth", "lmu", "lis", "klm"]
     names += (["seed"] if cfg["rng"] else ["dw"]) + ["dts"]
     if cfg["srows"]:
         names = [n for n in names if n not in cfg["srows"]]
@@ -290,12 +294,12 @@ def _drift_forward(cfg, n_inner, r, y, save=False):
         h_list.append(h)
     z3_lin = _dot(h, r["wout"][:], mm) + r["bo"][:]
     if cfg["latent"]:
-        # LINEAR drift on the latent lanes (< h_true-1; wout's zero
-        # padding keeps the KL/padded lanes exactly zero) + the Girsanov
-        # KL rate 0.5*||(f - theta*(mu - y))/sigma||^2 on lane h_true-1
-        u, mlat, klhot = _latent_u(cfg, r, y, z3_lin)
-        rate = 0.5 * jnp.sum(u * u, axis=-1, keepdims=True)
-        f = z3_lin + rate * klhot
+        # LINEAR drift on the latent lanes (wout's zero padding keeps the
+        # KL/padded lanes exactly zero) + the Girsanov KL rate
+        # 0.5*||(f - theta*(mu - y))/sigma||^2 scattered onto each
+        # member's KL lane by the one-hot klm matmul
+        u, _ = _latent_u(cfg, r, y, z3_lin)
+        f = z3_lin + _dot(0.5 * u * u, r["klm"][:], cfg["mm_bf16"])
         aux = (z1, h_list, z_list, z3_lin, None, f, yy, xh_blk)
         return f, aux
     ty = jnp.tanh(y)
@@ -307,15 +311,15 @@ def _drift_forward(cfg, n_inner, r, y, save=False):
 
 def _latent_u(cfg, r, y, z3_lin):
     """(f - h_prior)/sigma on the true latent lanes (masked elsewhere),
-    plus the lane masks the latent branch shares between fwd and bwd."""
-    th = r["lsc"][0, 0]
-    mu = r["lsc"][0, 1]
-    inv_sig = r["lsc"][0, 2]
+    plus the latent-lane mask the branch shares between fwd and bwd.
+    With lat_hm < h_true the state is a lane-packed stack of members of
+    width lat_hm, each with its own trailing KL lane."""
+    hm = cfg["lat_hm"]
     lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-    mlat = (lane < cfg["h_true"] - 1).astype(jnp.float32)
-    klhot = (lane == cfg["h_true"] - 1).astype(jnp.float32)
-    u = mlat * (z3_lin - th * (mu - y)) * inv_sig
-    return u, mlat, klhot
+    mlat = jnp.logical_and(lane < cfg["h_true"],
+                           lane % hm < hm - 1).astype(jnp.float32)
+    u = mlat * (z3_lin - r["lth"][:] * (r["lmu"][:] - y)) * r["lis"][:]
+    return u, mlat
 
 
 def _noise_forward(cfg, r, y):
@@ -411,16 +415,14 @@ def _drift_bwd(cfg, n_inner, r, y, aux, df, o):
     mm = cfg["mm_bf16"]
     z1, h_list, z_list, z3_lin, ty, f, yy, xh_blk = aux
     if cfg["latent"]:
-        # f = z3_lin + 0.5*sum(u^2) * klhot with u = mlat*(z3_lin -
-        # th*(mu - y))/sig: the KL-lane cotangent fans out through u to
-        # BOTH z3_lin (via 1/sig) and y (via +th/sig)
-        u, mlat, klhot = _latent_u(cfg, r, y, z3_lin)
-        inv_sig = r["lsc"][0, 2]
-        th = r["lsc"][0, 0]
-        dkl = jnp.sum(df * klhot, axis=-1, keepdims=True)
+        # f = z3_lin + (0.5*u^2) @ klm with u = mlat*(z3_lin -
+        # th*(mu - y))/sig: each member's KL-lane cotangent fans out
+        # (via klm^T) through its u to BOTH z3_lin (1/sig) and y (+th/sig)
+        u, mlat = _latent_u(cfg, r, y, z3_lin)
+        dkl = _dot(df, r["klm"][:].T, mm)
         du = dkl * u
-        dz3_lin = df * mlat + du * inv_sig
-        dy_geo = du * (th * inv_sig)
+        dz3_lin = df * mlat + du * r["lis"][:]
+        dy_geo = du * (r["lth"][:] * r["lis"][:])
     else:
         dz3 = df * (1.0 - f * f)
         if cfg["geometric"]:
@@ -593,7 +595,8 @@ def _specs_for(names, cfg, nk, B, H, block_b, U, reverse=False):
         **({"srow": srow_spec} if cfg["srows"] else {}),
         "seed": pl.BlockSpec(memory_space=pltpu.SMEM),
         "dts": pl.BlockSpec(memory_space=pltpu.SMEM),
-        "lsc": pl.BlockSpec(memory_space=pltpu.SMEM),
+        # latent-mode per-lane prior/posterior scalar rows
+        "lth": bsp, "lmu": bsp, "lis": bsp,
         "theta": pl.BlockSpec((1, H), lambda b, k: (0, 0),
                               memory_space=pltpu.VMEM),
     }
@@ -1241,7 +1244,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
 
 
 def fused_latent_em_solve(model, times, aug0, key, dt=None,
-                          stream_dtype=None):
+                          stream_dtype=None, dW_override=None):
     """Fused EM solve of the LatentSDE AUGMENTED system (models/
     latent_sde.py f_aug/g_aug; reference torch-ists latent_sde.py:91-147):
     H-1 latent channels plus a Girsanov KL-rate accumulator on lane H-1,
@@ -1250,11 +1253,13 @@ def fused_latent_em_solve(model, times, aug0, key, dt=None,
     model: models.latent_sde.LatentSDE. aug0: [B, H] augmented initial
     state (latent + zero KL lane). Draws dW exactly like
     sdeint(f_aug, g_aug, aug0, times, key=key) (kw = split(key)[0]), so
-    keyed parity with the scan path holds. theta/mu/sigma ride an SMEM
-    scalar row — they are non-trainable buffers in the reference and
-    here (sigma's pathwise gradient via the gk stream flows through the
-    precompute's autodiff; the lsc row carries no cotangent).
-    Returns ys [T, B, H] (KL total at ys[-1, :, H-1])."""
+    keyed parity with the scan path holds. theta/mu/1/sigma ride per-lane
+    VMEM rows (member-aware under lane packing; see
+    kernels/multi.py:pack_latent_models) — they are non-trainable buffers
+    in the reference and here (sigma's pathwise gradient via the gk
+    stream flows through the precompute's autodiff; the scalar rows carry
+    no cotangent). Returns ys [T, B, H] (KL total at ys[-1, :, H-1];
+    packed members' KL lanes at (i+1)*lat_hm - 1)."""
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
@@ -1275,16 +1280,23 @@ def fused_latent_em_solve(model, times, aug0, key, dt=None,
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
     coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
+    # lane-packed multi-model latent solves (kernels/multi.py) carry the
+    # per-member augmented width; a plain LatentSDE is one member
+    lat_hm = getattr(model, "lat_hm", H)
     # io=3 -> 'yy' drift with sin/cos-t bias row; no=1 -> precomputed
     # (constant) diffusion magnitude; latent=True flips the unbounded
     # drift/diffusion + KL-lane semantics
     cfg_key = (3, 1, mm_bf16, False, H, traj_bf16, False, coalesce,
-               False, True)
+               False, True, lat_hm)
     cfg = _config(*cfg_key)
 
-    kw, _ = jax.random.split(key)
-    dW = brownian_increments(kw, grid, (B, H), jnp.float32)
-    dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
+    if dW_override is not None:
+        # packed callers draw per member with per-member keys and concat
+        dW = _pad_to(dW_override, Hp, 2).astype(stream_dtype)
+    else:
+        kw, _ = jax.random.split(key)
+        dW = brownian_increments(kw, grid, (B, H), jnp.float32)
+        dW = _pad_to(dW, Hp, 2).astype(stream_dtype)
 
     t_lo = jnp.asarray(grid[:-1], jnp.float32)
     tf = jnp.stack([jnp.sin(t_lo), jnp.cos(t_lo)], axis=-1)   # [M, 2]
@@ -1306,15 +1318,33 @@ def fused_latent_em_solve(model, times, aug0, key, dt=None,
         "wout": _pad_to(_pad_to(model.linear_out.weight, Hp, 0), Hp, 1),
         "bo": _pad_to(model.linear_out.bias, Hp, 0)[None],
     }
-    sigma = model.sigma.value[0, 0].astype(jnp.float32)
-    theta = model.theta.value[0, 0].astype(jnp.float32)
-    mu = model.mu.value[0, 0].astype(jnp.float32)
-    lane_ok = (jnp.arange(Hp) < H - 1).astype(jnp.float32)
-    gk_row = (sigma * lane_ok)[None, :]            # [1, Hp], 0 on KL lane
+    # iota-computed masks/one-hots (never multi-KB HLO literals)
+    lane = jnp.arange(Hp)
+    mlat_row = jnp.logical_and(
+        lane < H, lane % lat_hm < lat_hm - 1
+    ).astype(jnp.float32)[None, :]
+    if hasattr(model, "sigma_row"):
+        # packed: per-member scalar rows supplied by pack_latent_models
+        sig_row = _pad_to(model.sigma_row, Hp, 0)[None]
+        th_row = _pad_to(model.theta_row, Hp, 0)[None]
+        mu_row = _pad_to(model.mu_row, Hp, 0)[None]
+    else:
+        sig_row = jnp.broadcast_to(
+            model.sigma.value[0, 0].astype(jnp.float32), (1, Hp))
+        th_row = jnp.broadcast_to(
+            model.theta.value[0, 0].astype(jnp.float32), (1, Hp))
+        mu_row = jnp.broadcast_to(
+            model.mu.value[0, 0].astype(jnp.float32), (1, Hp))
+    gk_row = sig_row * mlat_row                    # 0 on each KL lane
+    # one-hot rate scatter: latent lane q -> its member's KL lane
+    klrow = jnp.where(lane < H, (lane // lat_hm) * lat_hm + lat_hm - 1, -1)
+    klm = (lane[None, :] == klrow[:, None]).astype(jnp.float32)
     streams = {
         "a": _pad_to(a, Hp, 1)[:, None, :],
         "gk": jnp.broadcast_to(gk_row[None], (M, 1, Hp)),
-        "lsc": jnp.stack([theta, mu, 1.0 / sigma]).reshape(1, 3),
+        "lth": th_row, "lmu": mu_row,
+        "lis": mlat_row / jnp.where(sig_row == 0.0, 1.0, sig_row),
+        "klm": klm,
     }
     if cfg["srows"]:
         streams["srow"] = jnp.concatenate(
@@ -1335,9 +1365,10 @@ def fused_latent_em_solve(model, times, aug0, key, dt=None,
     dts_list = np.diff(grid).astype(np.float32).tolist()
     if pad_steps:
         dW = jnp.pad(dW, ((0, pad_steps), (0, 0), (0, 0)))
+        nonstep = ("lth", "lmu", "lis", "klm")
         streams = {
             k: (jnp.pad(v, ((0, pad_steps),) + ((0, 0),) * (v.ndim - 1))
-                if k != "lsc" else v)
+                if k not in nonstep else v)
             for k, v in streams.items()
         }
         dts_list += [0.0] * pad_steps

@@ -37,7 +37,8 @@ from jax.scipy.linalg import block_diag
 from .fused_em import fused_em_solve
 
 __all__ = ["fused_em_solve_packed", "fused_srk_solve_packed",
-           "fused_cde_solve_packed", "pack_fields", "pack_cde_fields",
+           "fused_cde_solve_packed", "fused_latent_em_solve_packed",
+           "pack_fields", "pack_cde_fields", "pack_latent_models",
            "route_vmapped", "route_vmapped_cde", "MAX_PACKED_LANES"]
 
 # Routed vmap solves lane-pack up to this many hidden lanes (K * max(H,
@@ -600,3 +601,105 @@ def route_vmapped_cde(func, path, times, z0, dt, method, stream_dtype):
         return zs, True
 
     return core(func, path, z0)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed LatentSDE solves
+# ---------------------------------------------------------------------------
+
+def pack_latent_models(models):
+    """Pack K identically-configured LatentSDE models into one synthetic
+    latent spec of augmented width K*Hm. Per-member zero rows/columns at
+    each KL lane keep the KL channels out of the drift MLP exactly like a
+    single model's padding does; theta/mu/sigma become per-lane rows that
+    the kernel's member-aware masks consume (fused_em._latent_u)."""
+    m0 = models[0]
+    Hm = m0.linear_out.out_features + 1        # augmented member width
+    HH = m0.linear_out.in_features
+    for m in models[1:]:
+        if (m.linear_out.out_features != Hm - 1
+                or m.linear_out.in_features != HH
+                or len(m.linears) != len(m0.linears)):
+            raise ValueError("pack_latent_models needs identically-"
+                             "configured models (same widths, depth)")
+    K = len(models)
+
+    def zrow(w):                                # [Hm-1, HH] -> [Hm, HH]
+        return jnp.concatenate([w, jnp.zeros((1, w.shape[1]), w.dtype)])
+
+    def zcol(w):                                # [HH, Hm-1] -> [HH, Hm]
+        return jnp.concatenate([w, jnp.zeros((w.shape[0], 1), w.dtype)],
+                               axis=1)
+
+    wt = jnp.concatenate([m.linear_in.weight[:2] for m in models], axis=1)
+    wy = block_diag(*[zrow(m.linear_in.weight[2:]) for m in models])
+    linear_in = _ns(
+        weight=jnp.concatenate([wt, wy], axis=0),
+        bias=jnp.concatenate([m.linear_in.bias for m in models]),
+        in_features=2 + K * Hm, out_features=K * HH,
+    )
+    linears = tuple(
+        _ns(weight=block_diag(*[m.linears[i].weight for m in models]),
+            bias=jnp.concatenate([m.linears[i].bias for m in models]),
+            in_features=K * HH, out_features=K * HH)
+        for i in range(len(m0.linears))
+    )
+    linear_out = _ns(
+        weight=block_diag(*[zcol(m.linear_out.weight) for m in models]),
+        bias=jnp.concatenate([
+            jnp.concatenate([m.linear_out.bias,
+                             jnp.zeros((1,), m.linear_out.bias.dtype)])
+            for m in models
+        ]),
+        in_features=K * HH, out_features=K * Hm,
+    )
+
+    def row(get):
+        return jnp.concatenate([
+            jnp.broadcast_to(get(m).astype(jnp.float32), (Hm,))
+            for m in models
+        ])
+
+    return _ns(
+        linear_in=linear_in, linears=linears, linear_out=linear_out,
+        sigma_row=row(lambda m: m.sigma.value[0, 0]),
+        theta_row=row(lambda m: m.theta.value[0, 0]),
+        mu_row=row(lambda m: m.mu.value[0, 0]),
+        lat_hm=Hm,
+    )
+
+
+def fused_latent_em_solve_packed(models, times, aug0s, keys, dt=None,
+                                 stream_dtype=None):
+    """Solve K identically-configured LatentSDE augmented systems in one
+    fused latent EM kernel invocation.
+
+    aug0s: [K, B, Hm] per-member augmented initial states (KL lane zero).
+    keys:  [K] per-member PRNG keys; packed member i draws the SAME dW as
+           fused_latent_em_solve(models[i], ..., keys[i]) would.
+    Returns ys [K, T, B, Hm] (member KL totals at ys[i, -1, :, -1])."""
+    from ..models.neuralsde import resolve_dt
+    from ..ops.brownian import brownian_increments
+    from ..ops.solve import make_grid
+    from .fused_em import fused_latent_em_solve
+
+    K = len(models)
+    if aug0s.shape[0] != K or len(keys) != K:
+        raise ValueError("need one aug0 slice and one key per model")
+    Hm = aug0s.shape[-1]
+    B = aug0s.shape[1]
+    packed = pack_latent_models(models)
+
+    dt = resolve_dt(times) if dt is None else dt
+    grid, _ = make_grid(times, dt)
+    dWs = []
+    for i in range(K):
+        kw, _ = jax.random.split(keys[i])
+        dWs.append(brownian_increments(kw, grid, (B, Hm), jnp.float32))
+    dW = jnp.concatenate(dWs, axis=-1)             # [M, B, K*Hm]
+
+    aug0 = jnp.concatenate([aug0s[i] for i in range(K)], axis=-1)
+    ys = fused_latent_em_solve(packed, times, aug0, keys[0], dt=dt,
+                               stream_dtype=stream_dtype, dW_override=dW)
+    T = ys.shape[0]
+    return ys.reshape(T, B, K, Hm).transpose(2, 0, 1, 3)

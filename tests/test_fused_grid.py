@@ -620,3 +620,37 @@ def test_latent_sde_model_parity_scan_vs_fused_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
                                atol=3e-5)
     np.testing.assert_allclose(float(kl_f), float(kl_s), atol=3e-5)
+
+
+def test_fused_latent_packed_matches_sequential():
+    """K lane-packed LatentSDE members == K sequential fused latent
+    solves (per-member dW keys, member-aware KL lanes)."""
+    from snsde.kernels.fused_em import fused_latent_em_solve
+    from snsde.kernels.multi import fused_latent_em_solve_packed
+    from snsde.models.latent_sde import LatentSDE
+
+    rng = np.random.default_rng(6)
+    B, C, H, K = 6, 3, 6, 3
+    times = np.linspace(0.0, 1.0, 5).astype(np.float32)
+    models = [
+        LatentSDE.create(jax.random.PRNGKey(i), C, H, 7, 2,
+                         theta=1.0 + 0.3 * i, mu=0.1 * i,
+                         sigma=0.4 + 0.1 * i, method="euler")
+        for i in range(K)
+    ]
+    aug0s = jnp.concatenate(
+        [jnp.asarray(rng.normal(size=(K, B, H - 1)), jnp.float32),
+         jnp.zeros((K, B, 1))], axis=-1)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(K)]
+    dt = resolve_dt(times)
+    ys = fused_latent_em_solve_packed(models, times, aug0s, keys, dt=dt)
+    for i in range(K):
+        ref = fused_latent_em_solve(models[i], times, aug0s[i], keys[i],
+                                    dt=dt)
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(ref),
+                                   atol=1e-5)
+        # and vs the scan augmented system on the same keyed draw
+        scan = sdeint(models[i].f_aug, models[i].g_aug, aug0s[i], times,
+                      key=keys[i], dt=dt, method="euler")
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(scan),
+                                   atol=3e-5)
