@@ -87,12 +87,34 @@ def bench_one(model_name, method, B, L, C, H, layers=2, iters=50,
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(losses).all())
 
+    # serving path: forward-only batch scoring (no backward/optimizer),
+    # the deployment-side twin of the train-step number
+    @jax.jit
+    def infer_loop(model, coeffs, keys):
+        def body(_, k):
+            logits, _ = model(times, coeffs, final_index, key=k,
+                              train=False)
+            return None, logits[:, 0]
+
+        _, out = jax.lax.scan(body, None, keys)
+        return out
+
+    out = infer_loop(model, coeffs, kws)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = infer_loop(model, coeffs, kws)
+    out.block_until_ready()
+    dt_inf = time.perf_counter() - t0
+    assert bool(jnp.isfinite(out).all())
+
     step_ms = dt / iters * 1e3
     sample_steps = iters * (L - 1) * B / dt
     return {"model": model_name, "method": method, "B": B, "L": L,
             "C": C, "H": H, "in_kernel_rng": rng_mode,
             "train_step_ms": round(step_ms, 3),
-            "sample_steps_per_sec": round(sample_steps, 1)}
+            "sample_steps_per_sec": round(sample_steps, 1),
+            "infer_step_ms": round(dt_inf / iters * 1e3, 3),
+            "infer_samples_per_sec": round(iters * B / dt_inf, 1)}
 
 
 CONFIGS = {
