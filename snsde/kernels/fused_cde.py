@@ -91,6 +91,27 @@ def _stage_times(method):
     return tuple(uniq), tuple(uniq.index(ci) for ci in c)
 
 
+def _stage_grid(grid, hs, ut):
+    """Stage-time array [M * len(ut)] replicating the scan steppers' f32
+    arithmetic BIT-EXACTLY (_ode_rk4 computes t0 + 0.5*dt / t0 + dt on
+    f32 scalars). Piecewise-LINEAR controls have discontinuous
+    derivatives at knots, so a stage time 1 ulp across a knot picks a
+    different segment slope — f64-exact knot landings would diverge from
+    the scan path there (cubic controls never see this: their derivative
+    is continuous)."""
+    t32 = grid[:-1].astype(np.float32)
+    h32 = hs.astype(np.float32)
+    cols = []
+    for u in ut:
+        if u == 0.0:
+            cols.append(t32)
+        elif u == 1.0:
+            cols.append(t32 + h32)
+        else:
+            cols.append(t32 + np.float32(u) * h32)
+    return np.stack(cols, axis=1).reshape(-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _config(method, act, n_inner, H, HH, C, mm_bf16, traj_bf16, members=1):
     """members > 1: the field is a lane-packed stack of `members`
@@ -613,7 +634,6 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
     Semantics match cdeint(method=...) on the same make_grid(times, dt)
     grid; gradients flow to the field weights, z0, AND the control path's
     coefficients (the packed derivative stream is differentiated)."""
-    from ..models.neuralsde import resolve_dt
     from ..ops.solve import cdeint, make_grid
 
     if stream_dtype is None:
@@ -622,7 +642,7 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
             if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
             else jnp.float32
         )
-    dt = resolve_dt(times, floor=0.0) if dt is None else dt
+    # dt=None keeps cdeint's semantics (make_grid steps exactly on ts)
     if is_batched(func, path, z0):
         # Route the batch axis onto the lane-packed kernel (custom
         # batching rule, kernels/multi.py) instead of the scan fallback —
@@ -675,10 +695,9 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
         # packed per-step control-derivative rows: d[m, b, j*C + c] =
         # dX/dt at t_m + ut[j]*h_m — every distinct stage time rides ONE
         # stream row
-        ut = np.asarray(cfg["ut"], np.float64)
-        stage_t = (grid[:-1, None] + hs[:, None] * ut[None, :]).reshape(-1)
+        stage_t = _stage_grid(grid, hs, cfg["ut"])
         dvals = path.derivative_grid(stage_t)        # [M*NT, B, C]
-        NT = len(ut)
+        NT = len(cfg["ut"])
         dvals = jnp.moveaxis(dvals.reshape(M, NT, B, C), 1, 2)
         dx = _pad_to(dvals.reshape(M, B, NT * C), SW, 2).astype(
             stream_dtype)

@@ -485,7 +485,8 @@ def fused_cde_solve_packed(funcs, path, times, z0s, dt=None,
            ride `path`. Returns zs [K, T, B, H]."""
     from ..models.neuralsde import resolve_dt
     from ..ops.solve import make_grid
-    from .fused_cde import _stage_times, fused_cde_solve
+    from .fused_cde import (_stage_grid, _stage_times,
+                            fused_cde_solve)
 
     K = len(funcs)
     if z0s.shape[0] != K:
@@ -506,8 +507,8 @@ def fused_cde_solve_packed(funcs, path, times, z0s, dt=None,
         import numpy as _np
 
         hs = _np.diff(grid)
-        ut = _np.asarray(_stage_times(method)[0], _np.float64)
-        stage_t = (grid[:-1, None] + hs[:, None] * ut[None, :]).reshape(-1)
+        ut = _stage_times(method)[0]
+        stage_t = _stage_grid(grid, hs, ut)
         M, NT, C = len(hs), len(ut), funcs[0].input_channels
         ds = []
         for p in paths:

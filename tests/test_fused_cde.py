@@ -381,3 +381,60 @@ def test_fused_cde_gruode_packed():
                               method="rk4")
         np.testing.assert_allclose(np.asarray(zs_packed[i]),
                                    np.asarray(ref), atol=1e-5)
+
+
+def test_fused_cde_linear_path():
+    """LinearPath controls (neuralcde-l/-r variants) ride the fused
+    kernel via LinearPath.derivative_grid; parity vs scan."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+    from snsde.ops.interp import LinearPath
+
+    rng = np.random.default_rng(2)
+    B, L, C, H = 8, 6, 3, 5
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    vals = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    path = LinearPath(times=jnp.asarray(times), values=vals)
+    func = _make_field("final_tanh", C, H, 7, 1)
+    z0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=0.09,
+                               method="rk4")
+    zs_scan = cdeint(path, func, z0, times, dt=0.09, method="rk4")
+    np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
+                               atol=3e-5)
+
+
+def test_ancde_dispatch_parity(monkeypatch):
+    """ANCDE end-to-end through the fused dispatch (interpret mode,
+    backend monkeypatched to 'tpu') == the scan path — including the
+    LEARNED second-phase control (Y_path), whose gradient flows through
+    the kernel's differentiated control stream."""
+    from snsde.models.ancde import ANCDE
+    from snsde.nn.core import filter_value_and_grad, partition
+
+    rng = np.random.default_rng(8)
+    B, L, C, H = 6, 6, 3, 5
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(x))
+    model = ANCDE.create(jax.random.PRNGKey(2), C, H, 7, 2)
+
+    def loss(m):
+        out = m(times, coeffs)
+        out = out[0] if isinstance(out, tuple) else out
+        return jnp.sum(jnp.asarray(out) ** 2)
+
+    l_scan, g_scan = filter_value_and_grad(loss)(model)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        l_fused, g_fused = filter_value_and_grad(loss)(model)
+    finally:
+        monkeypatch.undo()
+
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),
+                    jax.tree_util.tree_leaves(partition(g_scan)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
