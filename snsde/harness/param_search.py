@@ -116,7 +116,8 @@ def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
     epochs_done = [0] * num_samples
     for rung_idx, budget in enumerate(budget_per_rung):
         alive_idx = [ti for ti, t in enumerate(trials) if t["alive"]]
-        if pack and _SDE_GRID_RE.match(model_name):
+        if pack and (_SDE_GRID_RE.match(model_name)
+                     or model_name in ("neuralcde", "gru-ode")):
             groups: Dict[tuple, list] = {}
             for ti in alive_idx:
                 c = trials[ti]["config"]

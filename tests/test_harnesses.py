@@ -111,6 +111,21 @@ def test_asha_search_packed():
     assert len(lrs) == 3  # distinct per-member lrs went through one pack
 
 
+def test_asha_search_packed_ncde():
+    """pack=True now also packs neuralcde trials (deterministic CDE
+    members through packed_cde_solve with per-member lrs)."""
+    from snsde.data.synthetic import synthetic_uea
+    from snsde.harness.param_search import SearchSpace, asha_search
+
+    X, y, _ = synthetic_uea(n=64, length=8, channels=2)
+    space = SearchSpace(hidden_choices=(8,), layer_choices=(1,))
+    out = asha_search("neuralcde", X, y, num_samples=3,
+                      rungs=(1, 2), seed=0, space=space, pack=True)
+    assert out["best_config"] is not None
+    assert all(t["score"] is not None for t in out["trials"])
+    assert 0.0 <= out["best_score"] <= 1.0
+
+
 def test_resolve_sde_method_contract():
     from snsde.harness.forecasting import resolve_sde_method
 
