@@ -1,0 +1,296 @@
+"""Fused GRU sequence kernel (Pallas/TPU).
+
+The discrete recurrent baselines (torch-ists `gru`/`bigru` cells,
+reference _layer.py:113-153) and the interpolation decoders' BiGRU
+(reference benchmark_interpolation/models.py dec_rnn3/dec_mtan_rnn) run
+L sequential cell evaluations; under `lax.scan` each step pays the same
+per-iteration XLA loop overhead + HBM weight re-reads that motivated the
+fused solver kernels. This kernel runs the ENTIRE recurrence on-chip:
+
+  * the input contributions gi = x @ W_ih + b_ih are HOISTED out of the
+    recurrence and computed as ONE large MXU matmul (their gradient and
+    the chain to x ride XLA autodiff of that precompute);
+  * the hidden weights live in VMEM across all steps; each step is one
+    [B, Hp] @ [Hp, 3Hp] matmul + the gate elementwise math, with the
+    torch gate layout (r, z, n) kept lane-ALIGNED by padding each gate's
+    column block to the 128-lane tile separately;
+  * training uses a custom VJP whose backward is a second Pallas kernel
+    (reverse loop, gates recomputed from the saved hidden trajectory,
+    weight-grad accumulators resident in VMEM, dgi streamed out).
+
+Sequence-length padding to the unroll uses a `valid` SMEM flag row:
+padded steps pass the state through unchanged and contribute exactly
+zero cotangent. Bidirectional runs flip the stream outside the kernel.
+
+Set SNSDE_FUSED_INTERPRET=1 to run in interpret mode (CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_em import (LANE, _dot, _interpret, _pad_to, _pick_block,
+                       _round_up, is_batched)
+
+__all__ = ["fused_gru_scan", "supports_fused_gru"]
+
+_MAX_H = 512
+
+
+def supports_fused_gru(cell) -> bool:
+    """True for GRUCell-shaped cells (w_ih/w_hh/b_ih/b_hh with torch
+    (r,z,n) gate layout) within the lane caps."""
+    w_hh = getattr(cell, "w_hh", None)
+    if w_hh is None or getattr(cell, "w_ih", None) is None:
+        return False
+    H = w_hh.shape[0]
+    return w_hh.shape[1] == 3 * H and H <= _MAX_H
+
+
+def _pad_gates(x, H, Hp):
+    """Pad each of the three (r, z, n) gate blocks of a [..., 3H] array
+    to Hp lanes -> [..., 3Hp], keeping gate boundaries lane-aligned."""
+    parts = [x[..., i * H:(i + 1) * H] for i in range(3)]
+    return jnp.concatenate([_pad_to(p, Hp, x.ndim - 1) for p in parts],
+                           axis=-1)
+
+
+def _gru_gates(cfg, r, h, gi):
+    """One cell evaluation from VMEM state h and the per-step input row
+    gi. Returns (h_next, aux)."""
+    Hp = cfg["Hp"]
+    gh = _dot(h, r["whh"][:], cfg["mm_bf16"]) + r["bhh"][:]
+    rg = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+    zg = jax.nn.sigmoid(gi[:, Hp:2 * Hp] + gh[:, Hp:2 * Hp])
+    hn = gh[:, 2 * Hp:]
+    ng = jnp.tanh(gi[:, 2 * Hp:] + rg * hn)
+    h_next = (1.0 - zg) * ng + zg * h
+    return h_next, (rg, zg, ng, hn)
+
+
+def _fwd_kernel(cfg, U, names, *refs):
+    r = dict(zip(names, refs[: len(names)]))
+    hs_ref, h_scr = refs[len(names):]
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        h_scr[:] = r["h0"][:]
+
+    h = h_scr[:]
+    for u in range(U):
+        gi = r["gi"][u].astype(jnp.float32)
+        h_next, _ = _gru_gates(cfg, r, h, gi)
+        v = r["valid"][k * U + u, 0]
+        h = v * h_next + (1.0 - v) * h
+        hs_ref[u] = h.astype(hs_ref.dtype)
+    h_scr[:] = h
+
+
+def _bwd_kernel(cfg, U, in_names, out_names, *refs):
+    n_in, n_out = len(in_names), len(out_names)
+    r = dict(zip(in_names, refs[:n_in]))
+    o = dict(zip(out_names, refs[n_in:n_in + n_out]))
+    (gbar_scr,) = refs[n_in + n_out:]
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        gbar_scr[:] = jnp.zeros_like(gbar_scr)
+        o["dwhh"][0] = jnp.zeros_like(o["dwhh"][0])
+        o["dbhh"][0] = jnp.zeros_like(o["dbhh"][0])
+
+    Hp = cfg["Hp"]
+    mm = cfg["mm_bf16"]
+    gbar = gbar_scr[:]
+    for u in range(U - 1, -1, -1):
+        gbar = gbar + r["ghs"][u].astype(jnp.float32)
+        h = r["hprev"][u].astype(jnp.float32)
+        gi = r["gi"][u].astype(jnp.float32)
+        v = r["valid"][(nk - 1 - k) * U + u, 0]
+
+        _, (rg, zg, ng, hn) = _gru_gates(cfg, r, h, gi)
+        gb = gbar * v                   # padded steps: pure pass-through
+        dz = gb * (h - ng)
+        dn = gb * (1.0 - zg)
+        dh = gb * zg + (1.0 - v) * gbar
+        dn_pre = dn * (1.0 - ng * ng)
+        dr = dn_pre * hn
+        dgh_n = dn_pre * rg
+        dr_pre = dr * rg * (1.0 - rg)
+        dz_pre = dz * zg * (1.0 - zg)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dgh_n], axis=-1)
+        o["dgi"][u] = jnp.concatenate(
+            [dr_pre, dz_pre, dn_pre], axis=-1
+        ).astype(o["dgi"].dtype)
+        o["dwhh"][0] += _dot(h.T, dgh, mm)
+        o["dbhh"][0] += jnp.sum(dgh, axis=0, keepdims=True)
+        gbar = dh + _dot(dgh, r["whh"][:].T, mm)
+    gbar_scr[:] = gbar
+
+    @pl.when(k == nk - 1)
+    def _():
+        o["dh0"][0] = gbar_scr[:]
+
+
+def _specs(names, cfg, nk, block_b, U, reverse=False):
+    Hp = cfg["Hp"]
+    kmap = (lambda b, k: (nk - 1 - k, b, 0)) if reverse \
+        else (lambda b, k: (k, b, 0))
+    by = {
+        "h0": pl.BlockSpec((block_b, Hp), lambda b, k: (b, 0),
+                           memory_space=pltpu.VMEM),
+        "whh": pl.BlockSpec((Hp, 3 * Hp), lambda b, k: (0, 0),
+                            memory_space=pltpu.VMEM),
+        "bhh": pl.BlockSpec((1, 3 * Hp), lambda b, k: (0, 0),
+                            memory_space=pltpu.VMEM),
+        "gi": pl.BlockSpec((U, block_b, 3 * Hp), kmap,
+                           memory_space=pltpu.VMEM),
+        "hprev": pl.BlockSpec((U, block_b, Hp), kmap,
+                              memory_space=pltpu.VMEM),
+        "ghs": pl.BlockSpec((U, block_b, Hp), kmap,
+                            memory_space=pltpu.VMEM),
+        "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
+    }
+    return [by[n] for n in names]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_gru(params, gi, h0, valid_tuple, cfg_key, unroll):
+    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1], "traj_bf16": cfg_key[2]}
+    valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
+    M = valid.shape[0]
+    B = h0.shape[0]
+    U = unroll
+    nk = M // U
+    block_b = _pick_block(B, 3 * cfg["Hp"])
+    nb = B // block_b
+    names = ["h0", "whh", "bhh", "gi", "valid"]
+    vals = {"h0": h0, "gi": gi, "valid": valid, **params}
+    kernel = functools.partial(_fwd_kernel, cfg, U, names)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nk),
+        in_specs=_specs(names, cfg, nk, block_b, U),
+        out_specs=pl.BlockSpec((U, block_b, cfg["Hp"]),
+                               lambda b, k: (k, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, B, cfg["Hp"]),
+            jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_b, cfg["Hp"]), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*[vals[n] for n in names])
+
+
+def _fused_gru_fwd(params, gi, h0, valid_tuple, cfg_key, unroll):
+    hs = _fused_gru(params, gi, h0, valid_tuple, cfg_key, unroll)
+    return hs, (params, gi, h0, hs)
+
+
+def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
+    params, gi, h0, hs = res
+    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1], "traj_bf16": cfg_key[2]}
+    valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
+    M, B, Hp = hs.shape
+    U = unroll
+    nk = M // U
+    block_b = _pick_block(B, 3 * Hp)
+    nb = B // block_b
+    traj = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]], axis=0)
+    in_names = ["hprev", "ghs", "whh", "bhh", "gi", "valid"]
+    vals = {"hprev": traj, "ghs": ghs, "gi": gi, "valid": valid, **params}
+    out_names = ["dwhh", "dbhh", "dgi", "dh0"]
+    stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((nb, Hp, 3 * Hp), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, 3 * Hp), jnp.float32),
+        jax.ShapeDtypeStruct((M, B, 3 * Hp), stream_dtype),
+        jax.ShapeDtypeStruct((nb, block_b, Hp), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, Hp, 3 * Hp), lambda b, k: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3 * Hp), lambda b, k: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((U, block_b, 3 * Hp), lambda b, k: (nk - 1 - k, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_b, Hp), lambda b, k: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_bwd_kernel, cfg, U, in_names, out_names)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nk),
+        in_specs=_specs(in_names, cfg, nk, block_b, U, reverse=True),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((block_b, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*[vals[n] for n in in_names])
+    dwhh, dbhh, dgi, dh0 = outs
+    dparams = {"whh": jnp.sum(dwhh, axis=0), "bhh": jnp.sum(dbhh, axis=0)}
+    return (dparams, dgi.astype(gi.dtype),
+            dh0.reshape(-1, Hp).astype(h0.dtype))
+
+
+_fused_gru.defvjp(_fused_gru_fwd, _fused_gru_bwd)
+
+
+def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
+                   stream_dtype=None):
+    """Drop-in GRU recurrence: xs [L, B, C] -> hs [L, B, H], matching
+    lax.scan over GRUCell (torch (r,z,n) gate semantics) exactly.
+    reverse=True runs the backward-direction recurrence of a BiGRU
+    (hs[i] is the state after consuming xs[i:] from the right)."""
+    if stream_dtype is None:
+        stream_dtype = (
+            jnp.bfloat16
+            if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
+            else jnp.float32
+        )
+    L, B, _ = xs.shape
+    H = cell.hidden_size
+    Hp = _round_up(max(H, 8), LANE)
+    if h0 is None:
+        h0 = jnp.zeros((B, H), xs.dtype)
+    if reverse:
+        xs = jnp.flip(xs, axis=0)
+
+    # hoist the input projection out of the recurrence (one MXU matmul;
+    # dW_ih/db_ih and the chain to xs ride XLA autodiff of this line)
+    gi = xs @ cell.w_ih + cell.b_ih                 # [L, B, 3H]
+    gi = _pad_gates(gi, H, Hp).astype(stream_dtype)
+    params = {
+        "whh": _pad_gates(_pad_to(cell.w_hh, Hp, 0), H, Hp),
+        "bhh": _pad_gates(cell.b_hh, H, Hp)[None],
+    }
+    h0p = _pad_to(h0.astype(jnp.float32), Hp, 1)
+
+    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    traj_bf16 = stream_dtype == jnp.bfloat16
+    U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
+    U = max(1, min(U, L))
+    Lp = _round_up(L, U)
+    valid = [1.0] * L + [0.0] * (Lp - L)
+    if Lp > L:
+        gi = jnp.pad(gi, ((0, Lp - L), (0, 0), (0, 0)))
+    hs = _fused_gru(params, gi, h0p, tuple(valid),
+                    (Hp, mm_bf16, traj_bf16), U)
+    hs = hs[:L, :, :H].astype(jnp.float32)
+    return jnp.flip(hs, axis=0) if reverse else hs

@@ -146,9 +146,24 @@ class MultiTimeAttention(Module):
 
 
 def _bigru(cell_f: GRUCell, cell_b: GRUCell, xs):
-    """xs [L, B, C] -> [L, B, 2H]."""
+    """xs [L, B, C] -> [L, B, 2H]. On TPU the recurrences run through the
+    fused GRU kernel (kernels/fused_rnn.py, whole loop on-chip);
+    SNSDE_NO_FUSED=1 forces the scan path."""
+    import os
+
     B = xs.shape[1]
     H = cell_f.hidden_size
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("SNSDE_NO_FUSED", "0") != "1"):
+        from ..kernels.fused_em import is_batched
+        from ..kernels.fused_rnn import fused_gru_scan, supports_fused_gru
+
+        if (supports_fused_gru(cell_f)
+                and not is_batched(cell_f, cell_b, xs)):
+            return jnp.concatenate(
+                [fused_gru_scan(cell_f, xs),
+                 fused_gru_scan(cell_b, xs, reverse=True)], axis=-1)
 
     def run(cell, reverse):
         def step(hh, x):

@@ -245,6 +245,16 @@ class SeqRNN(Module):
                 h, carry = cell(x, carry)
                 return carry, h
         else:
+            import os
+
+            if (jax.default_backend() == "tpu"
+                    and os.environ.get("SNSDE_NO_FUSED", "0") != "1"):
+                from ..kernels.fused_em import is_batched
+                from ..kernels.fused_rnn import (fused_gru_scan,
+                                                 supports_fused_gru)
+
+                if supports_fused_gru(cell) and not is_batched(cell, xs):
+                    return fused_gru_scan(cell, xs, reverse=reverse)
             init = jnp.zeros((B, H))
 
             def step(h, x):

@@ -1,0 +1,121 @@
+"""Fused GRU kernel parity on CPU via Pallas interpret mode.
+
+Validates the fused GRU recurrence (snsde/kernels/fused_rnn.py) — forward
+AND the hand-written backward — against lax.scan over GRUCell, in both
+directions, including the valid-mask sequence padding and the hoisted
+input-projection gradient chain.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from snsde.nn.core import filter_value_and_grad, partition
+from snsde.nn.layers import GRUCell
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("SNSDE_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("SNSDE_FUSED_STREAM", "f32")
+
+
+def _scan_gru(cell, xs, reverse=False):
+    B = xs.shape[1]
+    H = cell.hidden_size
+
+    def step(h, x):
+        h2 = cell(x, h)
+        return h2, h2
+
+    _, hs = jax.lax.scan(step, jnp.zeros((B, H), xs.dtype), xs,
+                         reverse=reverse)
+    return hs
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("L", [8, 7])   # 7: valid-mask padding (U=4)
+def test_fused_gru_matches_scan(reverse, L):
+    from snsde.kernels.fused_rnn import fused_gru_scan, supports_fused_gru
+
+    rng = np.random.default_rng(0)
+    B, C, H = 6, 4, 5
+    cell = GRUCell.create(jax.random.PRNGKey(1), C, H)
+    assert supports_fused_gru(cell)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+    hs_fused = fused_gru_scan(cell, xs, reverse=reverse)
+    hs_scan = _scan_gru(cell, xs, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),
+                               atol=2e-6)
+
+
+def test_fused_gru_gradients_match_scan():
+    from snsde.kernels.fused_rnn import fused_gru_scan
+
+    rng = np.random.default_rng(1)
+    L, B, C, H = 7, 6, 4, 5
+    cell = GRUCell.create(jax.random.PRNGKey(2), C, H)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+
+    def loss_fused(c, x):
+        return jnp.sum(fused_gru_scan(c, x)[-1] ** 2)
+
+    def loss_scan(c, x):
+        return jnp.sum(_scan_gru(c, x)[-1] ** 2)
+
+    (_, gx1), g1 = (jax.value_and_grad(
+        lambda c, x: loss_fused(c, x), argnums=1)(cell, xs),
+        filter_value_and_grad(lambda c: loss_fused(c, xs))(cell)[1])
+    (_, gx2), g2 = (jax.value_and_grad(
+        lambda c, x: loss_scan(c, x), argnums=1)(cell, xs),
+        filter_value_and_grad(lambda c: loss_scan(c, xs))(cell)[1])
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-6)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+        compared += 1
+    assert compared >= 4    # w_ih, w_hh, b_ih, b_hh
+
+
+def test_bigru_dispatch_parity(monkeypatch):
+    """models/mtan._bigru through the fused dispatch (interpret mode,
+    backend monkeypatched) == the scan path."""
+    from snsde.models.mtan import _bigru
+
+    rng = np.random.default_rng(2)
+    L, B, C, H = 9, 4, 3, 5
+    cf = GRUCell.create(jax.random.PRNGKey(3), C, H)
+    cb = GRUCell.create(jax.random.PRNGKey(4), C, H)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+    ref = _bigru(cf, cb, xs)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        out = _bigru(cf, cb, xs)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_seqrnn_dispatch_parity(monkeypatch):
+    """SeqRNN gru stream through the fused dispatch == scan."""
+    from snsde.models.rnn import SeqRNN
+
+    rng = np.random.default_rng(3)
+    B, L, D, H = 4, 9, 3, 6
+    model = SeqRNN.create(jax.random.PRNGKey(5), D, H, 2, kind="gru",
+                          bidirectional=True)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    ref, _ = model(x)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        out, _ = model(x)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
