@@ -45,7 +45,17 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
     y = jnp.asarray((rng.random(B) < 0.3).astype(np.float32))
     final_index = jnp.full((B,), L - 1, jnp.int32)
 
-    if field == "latent":
+    if field == "gru":
+        from snsde.models.rnn import SeqRNN
+
+        model = SeqRNN.create(jax.random.fold_in(key, 1), C, H, 1,
+                              kind="gru")
+        xs_full = jnp.asarray(Xa)
+
+        def loss_fn(m, coeffs, y, key):
+            out, _ = m(xs_full)
+            return bce_with_logits(out[:, -1, 0], y), m
+    elif field == "latent":
         model = LatentSDE.create(jax.random.fold_in(key, 1), C, H, H,
                                  layers, method=method)
 
@@ -107,6 +117,7 @@ CONFIGS = {
                        field="gruode"),
     "latent_em": dict(method="euler", B=1024, L=72, C=6, H=32,
                       field="latent"),
+    "gru": dict(method="euler", B=1024, L=72, C=6, H=32, field="gru"),
 }
 
 
