@@ -87,9 +87,17 @@ def _fwd_kernel(cfg, U, names, *refs):
     h = h_scr[:]
     for u in range(U):
         gi = r["gi"][u].astype(jnp.float32)
-        h_next, _ = _gru_gates(cfg, r, h, gi)
+        # GRU-D variant: time-decay the state (precomputed row), run the
+        # cell, then keep the update only at observed steps
+        h_in = h * r["hdec"][u] if cfg["has_dec"] else h
+        h_next, _ = _gru_gates(cfg, r, h_in, gi)
+        if cfg["has_obs"]:
+            sel = r["obs"][u].astype(jnp.float32)
+            h_new = sel * h_next + (1.0 - sel) * h_in
+        else:
+            h_new = h_next
         v = r["valid"][k * U + u, 0]
-        h = v * h_next + (1.0 - v) * h
+        h = v * h_new + (1.0 - v) * h
         hs_ref[u] = h.astype(hs_ref.dtype)
     h_scr[:] = h
 
@@ -117,11 +125,18 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
         gi = r["gi"][u].astype(jnp.float32)
         v = r["valid"][(nk - 1 - k) * U + u, 0]
 
-        _, (rg, zg, ng, hn) = _gru_gates(cfg, r, h, gi)
+        h_in = h * r["hdec"][u] if cfg["has_dec"] else h
+        _, (rg, zg, ng, hn) = _gru_gates(cfg, r, h_in, gi)
         gb = gbar * v                   # padded steps: pure pass-through
-        dz = gb * (h - ng)
-        dn = gb * (1.0 - zg)
-        dh = gb * zg + (1.0 - v) * gbar
+        if cfg["has_obs"]:
+            sel = r["obs"][u].astype(jnp.float32)
+            dh_next = gb * sel
+            dh_in = gb * (1.0 - sel)
+        else:
+            dh_next = gb
+            dh_in = jnp.zeros_like(gb)
+        dz = dh_next * (h_in - ng)
+        dn = dh_next * (1.0 - zg)
         dn_pre = dn * (1.0 - ng * ng)
         dr = dn_pre * hn
         dgh_n = dn_pre * rg
@@ -131,9 +146,15 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
         o["dgi"][u] = jnp.concatenate(
             [dr_pre, dz_pre, dn_pre], axis=-1
         ).astype(o["dgi"].dtype)
-        o["dwhh"][0] += _dot(h.T, dgh, mm)
+        o["dwhh"][0] += _dot(h_in.T, dgh, mm)
         o["dbhh"][0] += jnp.sum(dgh, axis=0, keepdims=True)
-        gbar = dh + _dot(dgh, r["whh"][:].T, mm)
+        dh_in = dh_in + dh_next * zg + _dot(dgh, r["whh"][:].T, mm)
+        if cfg["has_dec"]:
+            o["dhdec"][0, u] = jnp.sum(dh_in * h, axis=0, keepdims=True)
+            dh_prev = dh_in * r["hdec"][u]
+        else:
+            dh_prev = dh_in
+        gbar = dh_prev + (1.0 - v) * gbar
     gbar_scr[:] = gbar
 
     @pl.when(k == nk - 1)
@@ -158,14 +179,35 @@ def _specs(names, cfg, nk, block_b, U, reverse=False):
                               memory_space=pltpu.VMEM),
         "ghs": pl.BlockSpec((U, block_b, Hp), kmap,
                             memory_space=pltpu.VMEM),
+        "obs": pl.BlockSpec((U, block_b, Hp), kmap,
+                            memory_space=pltpu.VMEM),
+        "hdec": pl.BlockSpec((U, 1, Hp),
+                             (lambda b, k: (nk - 1 - k, 0, 0)) if reverse
+                             else (lambda b, k: (k, 0, 0)),
+                             memory_space=pltpu.VMEM),
         "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
     return [by[n] for n in names]
 
 
+def _names(cfg, base):
+    out = list(base)
+    if cfg["has_dec"]:
+        out.insert(-1, "hdec")
+    if cfg["has_obs"]:
+        out.insert(-1, "obs")
+    return out
+
+
+def _cfg(cfg_key):
+    return {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
+            "traj_bf16": cfg_key[2], "has_dec": cfg_key[3],
+            "has_obs": cfg_key[4]}
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_gru(params, gi, h0, valid_tuple, cfg_key, unroll):
-    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1], "traj_bf16": cfg_key[2]}
+def _fused_gru(params, streams, h0, valid_tuple, cfg_key, unroll):
+    cfg = _cfg(cfg_key)
     valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
     M = valid.shape[0]
     B = h0.shape[0]
@@ -173,8 +215,8 @@ def _fused_gru(params, gi, h0, valid_tuple, cfg_key, unroll):
     nk = M // U
     block_b = _pick_block(B, 3 * cfg["Hp"])
     nb = B // block_b
-    names = ["h0", "whh", "bhh", "gi", "valid"]
-    vals = {"h0": h0, "gi": gi, "valid": valid, **params}
+    names = _names(cfg, ["h0", "whh", "bhh", "gi", "valid"])
+    vals = {"h0": h0, "valid": valid, **streams, **params}
     kernel = functools.partial(_fwd_kernel, cfg, U, names)
     return pl.pallas_call(
         kernel,
@@ -195,14 +237,14 @@ def _fused_gru(params, gi, h0, valid_tuple, cfg_key, unroll):
     )(*[vals[n] for n in names])
 
 
-def _fused_gru_fwd(params, gi, h0, valid_tuple, cfg_key, unroll):
-    hs = _fused_gru(params, gi, h0, valid_tuple, cfg_key, unroll)
-    return hs, (params, gi, h0, hs)
+def _fused_gru_fwd(params, streams, h0, valid_tuple, cfg_key, unroll):
+    hs = _fused_gru(params, streams, h0, valid_tuple, cfg_key, unroll)
+    return hs, (params, streams, h0, hs)
 
 
 def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
-    params, gi, h0, hs = res
-    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1], "traj_bf16": cfg_key[2]}
+    params, streams, h0, hs = res
+    cfg = _cfg(cfg_key)
     valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
     M, B, Hp = hs.shape
     U = unroll
@@ -210,8 +252,8 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
     block_b = _pick_block(B, 3 * Hp)
     nb = B // block_b
     traj = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]], axis=0)
-    in_names = ["hprev", "ghs", "whh", "bhh", "gi", "valid"]
-    vals = {"hprev": traj, "ghs": ghs, "gi": gi, "valid": valid, **params}
+    in_names = _names(cfg, ["hprev", "ghs", "whh", "bhh", "gi", "valid"])
+    vals = {"hprev": traj, "ghs": ghs, "valid": valid, **streams, **params}
     out_names = ["dwhh", "dbhh", "dgi", "dh0"]
     stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
     out_shapes = [
@@ -230,6 +272,13 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
         pl.BlockSpec((1, block_b, Hp), lambda b, k: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if cfg["has_dec"]:
+        out_names.append("dhdec")
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nb, M, 1, Hp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, U, 1, Hp), lambda b, k: (b, nk - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM))
     kernel = functools.partial(_bwd_kernel, cfg, U, in_names, out_names)
     outs = pl.pallas_call(
         kernel,
@@ -243,21 +292,36 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
         ),
         interpret=_interpret(),
     )(*[vals[n] for n in in_names])
-    dwhh, dbhh, dgi, dh0 = outs
-    dparams = {"whh": jnp.sum(dwhh, axis=0), "bhh": jnp.sum(dbhh, axis=0)}
-    return (dparams, dgi.astype(gi.dtype),
-            dh0.reshape(-1, Hp).astype(h0.dtype))
+    out = dict(zip(out_names, outs))
+    dparams = {"whh": jnp.sum(out["dwhh"], axis=0),
+               "bhh": jnp.sum(out["dbhh"], axis=0)}
+    dstreams = {"gi": out["dgi"].astype(streams["gi"].dtype)}
+    if cfg["has_dec"]:
+        dstreams["hdec"] = jnp.sum(out["dhdec"], axis=0).astype(
+            streams["hdec"].dtype)
+    if cfg["has_obs"]:
+        # observation indicators are data (0/1) — zero cotangent
+        dstreams["obs"] = jnp.zeros_like(streams["obs"])
+    return (dparams, dstreams,
+            out["dh0"].reshape(-1, Hp).astype(h0.dtype))
 
 
 _fused_gru.defvjp(_fused_gru_fwd, _fused_gru_bwd)
 
 
 def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
-                   stream_dtype=None):
+                   stream_dtype=None, obs=None, hdec=None):
     """Drop-in GRU recurrence: xs [L, B, C] -> hs [L, B, H], matching
     lax.scan over GRUCell (torch (r,z,n) gate semantics) exactly.
     reverse=True runs the backward-direction recurrence of a BiGRU
-    (hs[i] is the state after consuming xs[i:] from the right)."""
+    (hs[i] is the state after consuming xs[i:] from the right).
+
+    GRU-dt/GRU-D variants (models/rnn._ObservationGRUBase):
+      obs  [L, B]  — keep the cell update only where 1 (masked steps
+                     pass the (decayed) state through); data, no grad.
+      hdec [L, H]  — per-step hidden decay row applied BEFORE the cell
+                     (GRU-D's exp(-relu(decay(dt)))); its cotangent
+                     chains back to the decay net via XLA autodiff."""
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
@@ -271,11 +335,20 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
         h0 = jnp.zeros((B, H), xs.dtype)
     if reverse:
         xs = jnp.flip(xs, axis=0)
+        if obs is not None:
+            obs = jnp.flip(obs, axis=0)
+        if hdec is not None:
+            hdec = jnp.flip(hdec, axis=0)
 
     # hoist the input projection out of the recurrence (one MXU matmul;
     # dW_ih/db_ih and the chain to xs ride XLA autodiff of this line)
     gi = xs @ cell.w_ih + cell.b_ih                 # [L, B, 3H]
-    gi = _pad_gates(gi, H, Hp).astype(stream_dtype)
+    streams = {"gi": _pad_gates(gi, H, Hp).astype(stream_dtype)}
+    if obs is not None:
+        streams["obs"] = jnp.broadcast_to(
+            obs.astype(stream_dtype)[:, :, None], (L, B, Hp))
+    if hdec is not None:
+        streams["hdec"] = _pad_to(hdec, Hp, 1)[:, None, :]  # [L, 1, Hp]
     params = {
         "whh": _pad_gates(_pad_to(cell.w_hh, Hp, 0), H, Hp),
         "bhh": _pad_gates(cell.b_hh, H, Hp)[None],
@@ -289,8 +362,12 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
     Lp = _round_up(L, U)
     valid = [1.0] * L + [0.0] * (Lp - L)
     if Lp > L:
-        gi = jnp.pad(gi, ((0, Lp - L), (0, 0), (0, 0)))
-    hs = _fused_gru(params, gi, h0p, tuple(valid),
-                    (Hp, mm_bf16, traj_bf16), U)
+        streams = {
+            k: jnp.pad(v, ((0, Lp - L),) + ((0, 0),) * (v.ndim - 1))
+            for k, v in streams.items()
+        }
+    hs = _fused_gru(params, streams, h0p, tuple(valid),
+                    (Hp, mm_bf16, traj_bf16, hdec is not None,
+                     obs is not None), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs

@@ -47,10 +47,61 @@ class _ObservationGRUBase(Module):
     def evolve(self, h, time_diff):
         return h
 
+    def _decay_rows(self, time_diffs):
+        """Per-step hidden-decay rows [L, H] for the fused kernel, or None
+        when `evolve` is the identity / not row-expressible."""
+        return None
+
+    def _fused_path(self, X, time_diffs, z0, K):
+        """Run the observation recurrence through the fused GRU kernel
+        (TPU; kernels/fused_rnn.py) when the step decomposes into
+        data-only precomputes + (decay row, masked GRU update). The
+        dt_acc recurrence is data-only, so it closes over an exclusive
+        prefix sum + running last-observation max instead of a scan.
+        Returns hs [L, B, H] or None (scan fallback)."""
+        import os
+
+        if (jax.default_backend() != "tpu"
+                or os.environ.get("SNSDE_NO_FUSED", "0") == "1"):
+            return None
+        if type(self) not in (GRUdt, GRUD):
+            return None            # ODE-RNN etc: state-dependent evolve
+        from ..kernels.fused_em import is_batched
+        from ..kernels.fused_rnn import fused_gru_scan, supports_fused_gru
+
+        if not supports_fused_gru(self.gru) or is_batched(self, X, z0):
+            return None
+
+        xs = jnp.moveaxis(X, 1, 0)                       # [L, B, C]
+        observed = (jnp.max(xs[:, :, 1:1 + K], axis=-1) > 0.5)   # [L, B]
+        delta = xs[:, :, 0]                              # [L, B]
+        # dt_acc before step t = sum of deltas since the last observation
+        pcs = jnp.cumsum(delta, axis=0) - delta          # exclusive prefix
+        idx = jnp.arange(xs.shape[0])[:, None]
+        marker = jnp.where(observed, idx, -1)
+        last_incl = jax.lax.associative_scan(jnp.maximum, marker, axis=0)
+        last_excl = jnp.concatenate(
+            [jnp.full_like(marker[:1], -1), last_incl[:-1]], axis=0)
+        # dt_acc_t = pcs[t] - pcs[last+1]  (pcs[s+1] = sum of deltas up to
+        # and INCLUDING the last observed step s; last+1 <= L-1 always
+        # since last < t <= L-1, and last = -1 indexes pcs[0] = 0)
+        dt_acc = pcs - jnp.take_along_axis(pcs, last_excl + 1, axis=0)
+        inp = xs if self.use_intensity else xs[:, :, 1 + K:]
+        inp = jnp.concatenate(
+            [inp[:, :, :1] + dt_acc[:, :, None], inp[:, :, 1:]], axis=-1)
+        hdec = self._decay_rows(time_diffs)              # [L, H] | None
+        return fused_gru_scan(self.gru, inp, h0=z0,
+                              obs=observed.astype(xs.dtype), hdec=hdec)
+
     def __call__(self, times, coeffs, final_index, *, z0=None,
                  stream: bool = False, key=None, train: bool = False):
         times = jnp.asarray(times)
         X = _values_from_spline(times, coeffs)          # [B, L, C]
+        # the observation-GRU family declares an odd [t ‖ K intens ‖ K
+        # vals] width; a wider (even) coeff stream's extra trailing
+        # channel is IGNORED (registry.py gru-dt/gru-d/ode-rnn contract —
+        # the reference's degenerate behavior on non-intensity coeffs)
+        X = X[..., : self.input_channels]
         K = (self.input_channels - 1) // 2
         # cumulative intensity -> per-step observation indicator
         intens = X[:, :, 1 : 1 + K]
@@ -72,6 +123,17 @@ class _ObservationGRUBase(Module):
         time_diffs = jnp.concatenate(
             [jnp.zeros((1,), times.dtype), times[1:] - times[:-1]]
         )
+
+        hs_fused = self._fused_path(X, time_diffs, z0, K)
+        if hs_fused is not None:
+            out = jnp.moveaxis(hs_fused, 0, 1)           # [B, L, H]
+            if stream:
+                final = out
+            else:
+                idx = jnp.asarray(final_index)
+                final = jnp.take_along_axis(out, idx[:, None, None],
+                                            axis=1)[:, 0]
+            return self.linear(final), out
 
         def step(carry, xs):
             h, dt_acc = carry
@@ -148,6 +210,12 @@ class GRUD(_ObservationGRUBase):
     def evolve(self, h, time_diff):
         rate = jax.nn.relu(self.decay(jnp.reshape(time_diff, (1,))))
         return h * jnp.exp(-rate)
+
+    def _decay_rows(self, time_diffs):
+        # [L, H] rows for the fused kernel — same math as evolve, batched
+        # over steps (grads to the decay net ride this precompute)
+        rate = jax.nn.relu(self.decay(time_diffs[:, None]))
+        return jnp.exp(-rate)
 
 
 @module

@@ -119,3 +119,50 @@ def test_seqrnn_dispatch_parity(monkeypatch):
     finally:
         monkeypatch.undo()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["grudt", "grud"])
+def test_observation_gru_dispatch_parity(name, monkeypatch):
+    """GRU-dt / GRU-D through the fused path (closed-form dt_acc, decay
+    rows, masked updates) == the reference scan recurrence — outputs AND
+    gradients, on sparse observation patterns."""
+    from snsde.models.rnn import GRUD, GRUdt
+    from snsde.ops.interp import hermite_cubic_coeffs
+
+    rng = np.random.default_rng(5)
+    B, L, K = 5, 11, 3
+    C = 2 * K + 1                       # (t, intensity*K, values*K)
+    times = np.sort(rng.uniform(0, 1, L)).astype(np.float32)
+    # sparse binary observation pattern via cumulative intensity
+    obs = (rng.random((B, L, K)) < 0.4).astype(np.float32)
+    cum = np.cumsum(obs, axis=1)
+    vals = rng.normal(size=(B, L, K)).astype(np.float32)
+    X = np.concatenate(
+        [np.broadcast_to(times[None, :, None], (B, L, 1)), cum, vals],
+        axis=-1,
+    )
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
+    cls = {"grudt": GRUdt, "grud": GRUD}[name]
+    model = cls.create(jax.random.PRNGKey(7), C, 6, 2)
+    fin = jnp.full((B,), L - 1, jnp.int32)
+
+    def loss(m):
+        logits, outs = m(times, coeffs, fin)
+        return jnp.sum(logits ** 2) + jnp.sum(outs[:, -1] ** 2)
+
+    l_scan, g_scan = filter_value_and_grad(loss)(model)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        l_fused, g_fused = filter_value_and_grad(loss)(model)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),
+                    jax.tree_util.tree_leaves(partition(g_scan)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-6)
+        compared += 1
+    assert compared >= 5
