@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_em import (LANE, _dot, _interpret, _pad_to, _pick_block,
                        _round_up, is_batched)
 
-__all__ = ["fused_gru_scan", "supports_fused_gru"]
+__all__ = ["fused_gru_scan", "fused_lstm_scan",
+           "supports_fused_gru", "supports_fused_lstm"]
 
 _MAX_H = 512
 
@@ -369,5 +370,250 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
     hs = _fused_gru(params, streams, h0p, tuple(valid),
                     (Hp, mm_bf16, traj_bf16, hdec is not None,
                      obs is not None), U)
+    hs = hs[:L, :, :H].astype(jnp.float32)
+    return jnp.flip(hs, axis=0) if reverse else hs
+
+
+# ---------------------------------------------------------------------------
+# Fused LSTM (torch (i, f, g, o) gate ordering; nn/layers.LSTMCell)
+# ---------------------------------------------------------------------------
+
+def supports_fused_lstm(cell) -> bool:
+    w_hh = getattr(cell, "w_hh", None)
+    if w_hh is None or getattr(cell, "w_ih", None) is None:
+        return False
+    H = w_hh.shape[0]
+    return w_hh.shape[1] == 4 * H and H <= _MAX_H
+
+
+def _pad_gates4(x, H, Hp):
+    parts = [x[..., i * H:(i + 1) * H] for i in range(4)]
+    return jnp.concatenate([_pad_to(p, Hp, x.ndim - 1) for p in parts],
+                           axis=-1)
+
+
+def _lstm_gates(cfg, r, h, c, gi):
+    Hp = cfg["Hp"]
+    g = gi + _dot(h, r["whh"][:], cfg["mm_bf16"]) + r["bhh"][:]
+    ig = jax.nn.sigmoid(g[:, :Hp])
+    fg = jax.nn.sigmoid(g[:, Hp:2 * Hp])
+    gg = jnp.tanh(g[:, 2 * Hp:3 * Hp])
+    og = jax.nn.sigmoid(g[:, 3 * Hp:])
+    c_next = fg * c + ig * gg
+    h_next = og * jnp.tanh(c_next)
+    return h_next, c_next, (ig, fg, gg, og)
+
+
+def _lstm_fwd_kernel(cfg, U, names, *refs):
+    r = dict(zip(names, refs[: len(names)]))
+    hs_ref, cs_ref, h_scr, c_scr = refs[len(names):]
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h, c = h_scr[:], c_scr[:]
+    for u in range(U):
+        gi = r["gi"][u].astype(jnp.float32)
+        h_next, c_next, _ = _lstm_gates(cfg, r, h, c, gi)
+        v = r["valid"][k * U + u, 0]
+        h = v * h_next + (1.0 - v) * h
+        c = v * c_next + (1.0 - v) * c
+        hs_ref[u] = h.astype(hs_ref.dtype)
+        cs_ref[u] = c.astype(cs_ref.dtype)
+    h_scr[:] = h
+    c_scr[:] = c
+
+
+def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
+    n_in, n_out = len(in_names), len(out_names)
+    r = dict(zip(in_names, refs[:n_in]))
+    o = dict(zip(out_names, refs[n_in:n_in + n_out]))
+    gh_scr, gc_scr = refs[n_in + n_out:]
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        gh_scr[:] = jnp.zeros_like(gh_scr)
+        gc_scr[:] = jnp.zeros_like(gc_scr)
+        o["dwhh"][0] = jnp.zeros_like(o["dwhh"][0])
+        o["dbhh"][0] = jnp.zeros_like(o["dbhh"][0])
+
+    mm = cfg["mm_bf16"]
+    gh, gc = gh_scr[:], gc_scr[:]
+    for u in range(U - 1, -1, -1):
+        gh = gh + r["ghs"][u].astype(jnp.float32)
+        h = r["hprev"][u].astype(jnp.float32)
+        c = r["cprev"][u].astype(jnp.float32)
+        gi = r["gi"][u].astype(jnp.float32)
+        v = r["valid"][(nk - 1 - k) * U + u, 0]
+
+        h_next, c_next, (ig, fg, gg, og) = _lstm_gates(cfg, r, h, c, gi)
+        ghv = gh * v
+        gcv = gc * v
+        tc = jnp.tanh(c_next)
+        do = ghv * tc
+        dc_n = gcv + ghv * og * (1.0 - tc * tc)
+        df = dc_n * c
+        dc_prev = dc_n * fg
+        di = dc_n * gg
+        dg = dc_n * ig
+        di_pre = di * ig * (1.0 - ig)
+        df_pre = df * fg * (1.0 - fg)
+        dg_pre = dg * (1.0 - gg * gg)
+        do_pre = do * og * (1.0 - og)
+        dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
+        o["dgi"][u] = dgates.astype(o["dgi"].dtype)
+        o["dwhh"][0] += _dot(h.T, dgates, mm)
+        o["dbhh"][0] += jnp.sum(dgates, axis=0, keepdims=True)
+        gh = _dot(dgates, r["whh"][:].T, mm) + (1.0 - v) * gh
+        gc = dc_prev + (1.0 - v) * gc
+    gh_scr[:] = gh
+    gc_scr[:] = gc
+
+
+def _lstm_specs(names, cfg, nk, block_b, U, reverse=False):
+    Hp = cfg["Hp"]
+    kmap = (lambda b, k: (nk - 1 - k, b, 0)) if reverse \
+        else (lambda b, k: (k, b, 0))
+    by = {
+        "whh": pl.BlockSpec((Hp, 4 * Hp), lambda b, k: (0, 0),
+                            memory_space=pltpu.VMEM),
+        "bhh": pl.BlockSpec((1, 4 * Hp), lambda b, k: (0, 0),
+                            memory_space=pltpu.VMEM),
+        "gi": pl.BlockSpec((U, block_b, 4 * Hp), kmap,
+                           memory_space=pltpu.VMEM),
+        "hprev": pl.BlockSpec((U, block_b, Hp), kmap,
+                              memory_space=pltpu.VMEM),
+        "cprev": pl.BlockSpec((U, block_b, Hp), kmap,
+                              memory_space=pltpu.VMEM),
+        "ghs": pl.BlockSpec((U, block_b, Hp), kmap,
+                            memory_space=pltpu.VMEM),
+        "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
+    }
+    return [by[n] for n in names]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_lstm(params, gi, valid_tuple, cfg_key, unroll):
+    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
+           "traj_bf16": cfg_key[2]}
+    valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
+    M = valid.shape[0]
+    B = gi.shape[1]
+    U = unroll
+    nk = M // U
+    block_b = _pick_block(B, 4 * cfg["Hp"])
+    nb = B // block_b
+    names = ["whh", "bhh", "gi", "valid"]
+    vals = {"gi": gi, "valid": valid, **params}
+    traj_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
+    out_spec = pl.BlockSpec((U, block_b, cfg["Hp"]), lambda b, k: (k, b, 0),
+                            memory_space=pltpu.VMEM)
+    hs, cs = pl.pallas_call(
+        functools.partial(_lstm_fwd_kernel, cfg, U, names),
+        grid=(nb, nk),
+        in_specs=_lstm_specs(names, cfg, nk, block_b, U),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((M, B, cfg["Hp"]), traj_dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((block_b, cfg["Hp"]), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*[vals[n] for n in names])
+    return hs, cs
+
+
+def _fused_lstm_fwd(params, gi, valid_tuple, cfg_key, unroll):
+    hs, cs = _fused_lstm(params, gi, valid_tuple, cfg_key, unroll)
+    return (hs, cs), (params, gi, hs, cs)
+
+
+def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, g):
+    ghs, gcs = g
+    del gcs       # the cell-state trajectory is an internal residual
+    params, gi, hs, cs = res
+    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
+           "traj_bf16": cfg_key[2]}
+    valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
+    M, B, Hp = hs.shape
+    U = unroll
+    nk = M // U
+    block_b = _pick_block(B, 4 * Hp)
+    nb = B // block_b
+    zrow = jnp.zeros_like(hs[:1])
+    hprev = jnp.concatenate([zrow, hs[:-1]], axis=0)
+    cprev = jnp.concatenate([zrow, cs[:-1]], axis=0)
+    in_names = ["hprev", "cprev", "ghs", "whh", "bhh", "gi", "valid"]
+    vals = {"hprev": hprev, "cprev": cprev, "ghs": ghs, "gi": gi,
+            "valid": valid, **params}
+    stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
+    out_names = ["dwhh", "dbhh", "dgi"]
+    outs = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, cfg, U, in_names, out_names),
+        grid=(nb, nk),
+        in_specs=_lstm_specs(in_names, cfg, nk, block_b, U, reverse=True),
+        out_specs=[
+            pl.BlockSpec((1, Hp, 4 * Hp), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * Hp), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, block_b, 4 * Hp),
+                         lambda b, k: (nk - 1 - k, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Hp, 4 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, 4 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((M, B, 4 * Hp), stream_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_b, Hp), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*[vals[n] for n in in_names])
+    dwhh, dbhh, dgi = outs
+    dparams = {"whh": jnp.sum(dwhh, axis=0), "bhh": jnp.sum(dbhh, axis=0)}
+    return dparams, dgi.astype(gi.dtype)
+
+
+_fused_lstm.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
+
+
+def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None):
+    """Drop-in LSTM recurrence from zero (h, c): xs [L, B, C] ->
+    hs [L, B, H], matching lax.scan over LSTMCell exactly."""
+    if stream_dtype is None:
+        stream_dtype = (
+            jnp.bfloat16
+            if os.environ.get("SNSDE_FUSED_STREAM", "f32") == "bf16"
+            else jnp.float32
+        )
+    L, B, _ = xs.shape
+    H = cell.hidden_size
+    Hp = _round_up(max(H, 8), LANE)
+    if reverse:
+        xs = jnp.flip(xs, axis=0)
+    gi = xs @ cell.w_ih + cell.b_ih                 # [L, B, 4H]
+    gi = _pad_gates4(gi, H, Hp).astype(stream_dtype)
+    params = {
+        "whh": _pad_gates4(_pad_to(cell.w_hh, Hp, 0), H, Hp),
+        "bhh": _pad_gates4(cell.b_hh, H, Hp)[None],
+    }
+    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    traj_bf16 = stream_dtype == jnp.bfloat16
+    U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
+    U = max(1, min(U, L))
+    Lp = _round_up(L, U)
+    valid = [1.0] * L + [0.0] * (Lp - L)
+    if Lp > L:
+        gi = jnp.pad(gi, ((0, Lp - L), (0, 0), (0, 0)))
+    hs, _ = _fused_lstm(params, gi, tuple(valid),
+                        (Hp, mm_bf16, traj_bf16), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs

@@ -307,6 +307,16 @@ class SeqRNN(Module):
 
     def _run(self, cell, xs, B, H, reverse=False):
         if isinstance(cell, LSTMCell):
+            import os
+
+            if (jax.default_backend() == "tpu"
+                    and os.environ.get("SNSDE_NO_FUSED", "0") != "1"):
+                from ..kernels.fused_em import is_batched
+                from ..kernels.fused_rnn import (fused_lstm_scan,
+                                                 supports_fused_lstm)
+
+                if supports_fused_lstm(cell) and not is_batched(cell, xs):
+                    return fused_lstm_scan(cell, xs, reverse=reverse)
             init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
 
             def step(carry, x):

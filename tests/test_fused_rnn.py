@@ -166,3 +166,78 @@ def test_observation_gru_dispatch_parity(name, monkeypatch):
                                    rtol=3e-4, atol=3e-6)
         compared += 1
     assert compared >= 5
+
+
+def _scan_lstm(cell, xs, reverse=False):
+    B = xs.shape[1]
+    H = cell.hidden_size
+    init = (jnp.zeros((B, H), xs.dtype), jnp.zeros((B, H), xs.dtype))
+
+    def step(carry, x):
+        h, carry = cell(x, carry)
+        return carry, h
+
+    _, hs = jax.lax.scan(step, init, xs, reverse=reverse)
+    return hs
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("L", [8, 7])
+def test_fused_lstm_matches_scan(reverse, L):
+    from snsde.kernels.fused_rnn import fused_lstm_scan, supports_fused_lstm
+    from snsde.nn.layers import LSTMCell
+
+    rng = np.random.default_rng(4)
+    B, C, H = 6, 4, 5
+    cell = LSTMCell.create(jax.random.PRNGKey(6), C, H)
+    assert supports_fused_lstm(cell)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+    hs_fused = fused_lstm_scan(cell, xs, reverse=reverse)
+    hs_scan = _scan_lstm(cell, xs, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),
+                               atol=2e-6)
+
+
+def test_fused_lstm_gradients_match_scan():
+    from snsde.kernels.fused_rnn import fused_lstm_scan
+    from snsde.nn.layers import LSTMCell
+
+    rng = np.random.default_rng(6)
+    L, B, C, H = 7, 6, 4, 5
+    cell = LSTMCell.create(jax.random.PRNGKey(8), C, H)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+
+    def loss_fused(c):
+        return jnp.sum(fused_lstm_scan(c, xs) ** 2)
+
+    def loss_scan(c):
+        return jnp.sum(_scan_lstm(c, xs) ** 2)
+
+    _, g1 = filter_value_and_grad(loss_fused)(cell)
+    _, g2 = filter_value_and_grad(loss_scan)(cell)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g1)[0]),
+                    jax.tree_util.tree_leaves(partition(g2)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+        compared += 1
+    assert compared >= 4
+
+
+def test_seqrnn_lstm_dispatch_parity(monkeypatch):
+    from snsde.models.rnn import SeqRNN
+
+    rng = np.random.default_rng(7)
+    B, L, D, H = 4, 9, 3, 6
+    model = SeqRNN.create(jax.random.PRNGKey(9), D, H, 2, kind="lstm",
+                          bidirectional=True)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    ref, _ = model(x)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        out, _ = model(x)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
