@@ -88,9 +88,16 @@ def _fwd_kernel(cfg, U, names, *refs):
     h = h_scr[:]
     for u in range(U):
         gi = r["gi"][u].astype(jnp.float32)
-        # GRU-D variant: time-decay the state (precomputed row), run the
-        # cell, then keep the update only at observed steps
-        h_in = h * r["hdec"][u] if cfg["has_dec"] else h
+        # GRU-D: time-decay the state (precomputed row); ODE-RNN: evolve
+        # it by the in-kernel euler MLP — then run the cell and keep the
+        # update only at observed steps
+        if cfg["has_dec"]:
+            h_in = h * r["hdec"][u]
+        elif cfg["n_ode"]:
+            dt = r["tdif"][k * U + u, 0] / cfg["ode_steps"]
+            h_in, _ = _ode_evolve(cfg, r, h, dt)
+        else:
+            h_in = h
         h_next, _ = _gru_gates(cfg, r, h_in, gi)
         if cfg["has_obs"]:
             sel = r["obs"][u].astype(jnp.float32)
@@ -116,6 +123,9 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
         gbar_scr[:] = jnp.zeros_like(gbar_scr)
         o["dwhh"][0] = jnp.zeros_like(o["dwhh"][0])
         o["dbhh"][0] = jnp.zeros_like(o["dbhh"][0])
+        for i in range(cfg["n_ode"]):
+            o[f"dwf{i}"][0] = jnp.zeros_like(o[f"dwf{i}"][0])
+            o[f"dbf{i}"][0] = jnp.zeros_like(o[f"dbf{i}"][0])
 
     Hp = cfg["Hp"]
     mm = cfg["mm_bf16"]
@@ -126,7 +136,14 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
         gi = r["gi"][u].astype(jnp.float32)
         v = r["valid"][(nk - 1 - k) * U + u, 0]
 
-        h_in = h * r["hdec"][u] if cfg["has_dec"] else h
+        subs = None
+        if cfg["has_dec"]:
+            h_in = h * r["hdec"][u]
+        elif cfg["n_ode"]:
+            dt = r["tdif"][(nk - 1 - k) * U + u, 0] / cfg["ode_steps"]
+            h_in, subs = _ode_evolve(cfg, r, h, dt)
+        else:
+            h_in = h
         _, (rg, zg, ng, hn) = _gru_gates(cfg, r, h_in, gi)
         gb = gbar * v                   # padded steps: pure pass-through
         if cfg["has_obs"]:
@@ -153,6 +170,8 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
         if cfg["has_dec"]:
             o["dhdec"][0, u] = jnp.sum(dh_in * h, axis=0, keepdims=True)
             dh_prev = dh_in * r["hdec"][u]
+        elif cfg["n_ode"]:
+            dh_prev = _ode_evolve_bwd(cfg, r, subs, dt, dh_in, o)
         else:
             dh_prev = dh_in
         gbar = dh_prev + (1.0 - v) * gbar
@@ -187,8 +206,18 @@ def _specs(names, cfg, nk, block_b, U, reverse=False):
                              else (lambda b, k: (k, 0, 0)),
                              memory_space=pltpu.VMEM),
         "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
+        "tdif": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
-    return [by[n] for n in names]
+    HHp = cfg.get("HHp", 0)
+    n = cfg.get("n_ode", 0)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, k: (0,) * len(shape), memory_space=pltpu.VMEM)
+    for i in range(n):
+        in_d = Hp if i == 0 else HHp
+        out_d = Hp if i == n - 1 else HHp
+        by[f"wf{i}"] = const((in_d, out_d))
+        by[f"bf{i}"] = const((1, out_d))
+    return [by[n_] for n_ in names]
 
 
 def _names(cfg, base):
@@ -197,13 +226,64 @@ def _names(cfg, base):
         out.insert(-1, "hdec")
     if cfg["has_obs"]:
         out.insert(-1, "obs")
+    for i in range(cfg["n_ode"]):
+        out.insert(-1, f"wf{i}")
+        out.insert(-1, f"bf{i}")
+    if cfg["n_ode"]:
+        out.insert(-1, "tdif")
     return out
 
 
 def _cfg(cfg_key):
+    # (Hp, mm_bf16, traj_bf16, has_dec, has_obs[, HHp, n_ode, ode_steps])
+    # n_ode > 0: ODE-RNN euler evolve by an in-kernel MLP (n_ode layers,
+    # tanh inners + linear out) over ode_steps substeps of tdif/ode_steps
     return {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
             "traj_bf16": cfg_key[2], "has_dec": cfg_key[3],
-            "has_obs": cfg_key[4]}
+            "has_obs": cfg_key[4],
+            "HHp": cfg_key[5] if len(cfg_key) > 5 else 0,
+            "n_ode": cfg_key[6] if len(cfg_key) > 6 else 0,
+            "ode_steps": cfg_key[7] if len(cfg_key) > 7 else 0}
+
+
+def _ode_evolve(cfg, r, h, dt):
+    """Euler substeps of the ODE-RNN MLP field. Returns (h_out, substate
+    list [h before each substep] for the backward)."""
+    subs = []
+    for _ in range(cfg["ode_steps"]):
+        subs.append(h)
+        x = h
+        for i in range(cfg["n_ode"] - 1):
+            x = jnp.tanh(_dot(x, r[f"wf{i}"][:], cfg["mm_bf16"])
+                         + r[f"bf{i}"][:])
+        fx = _dot(x, r[f"wf{cfg['n_ode'] - 1}"][:], cfg["mm_bf16"]) \
+            + r[f"bf{cfg['n_ode'] - 1}"][:]
+        h = h + dt * fx
+    return h, subs
+
+
+def _ode_evolve_bwd(cfg, r, subs, dt, dh, o):
+    """Reverse the euler substeps; accumulates MLP weight grads into o and
+    returns the cotangent of the pre-evolve state."""
+    n = cfg["n_ode"]
+    mm = cfg["mm_bf16"]
+    for h_sub in reversed(subs):
+        # recompute the MLP intermediates for this substep
+        xs = [h_sub]
+        for i in range(n - 1):
+            xs.append(jnp.tanh(_dot(xs[-1], r[f"wf{i}"][:], mm)
+                               + r[f"bf{i}"][:]))
+        dfx = dh * dt
+        o[f"dwf{n - 1}"][0] += _dot(xs[-1].T, dfx, mm)
+        o[f"dbf{n - 1}"][0] += jnp.sum(dfx, axis=0, keepdims=True)
+        dx = _dot(dfx, r[f"wf{n - 1}"][:].T, mm)
+        for i in range(n - 2, -1, -1):
+            dz = dx * (1.0 - xs[i + 1] * xs[i + 1])
+            o[f"dwf{i}"][0] += _dot(xs[i].T, dz, mm)
+            o[f"dbf{i}"][0] += jnp.sum(dz, axis=0, keepdims=True)
+            dx = _dot(dz, r[f"wf{i}"][:].T, mm)
+        dh = dh + dx
+    return dh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -280,6 +360,20 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
         out_specs.append(
             pl.BlockSpec((1, U, 1, Hp), lambda b, k: (b, nk - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM))
+    HHp = cfg["HHp"]
+    n_ode = cfg["n_ode"]
+    for i in range(n_ode):
+        in_d = Hp if i == 0 else HHp
+        out_d = Hp if i == n_ode - 1 else HHp
+        out_names += [f"dwf{i}", f"dbf{i}"]
+        out_shapes += [jax.ShapeDtypeStruct((nb, in_d, out_d), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, 1, out_d), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((1, in_d, out_d), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, out_d), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     kernel = functools.partial(_bwd_kernel, cfg, U, in_names, out_names)
     outs = pl.pallas_call(
         kernel,
@@ -296,7 +390,12 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
     out = dict(zip(out_names, outs))
     dparams = {"whh": jnp.sum(out["dwhh"], axis=0),
                "bhh": jnp.sum(out["dbhh"], axis=0)}
+    for i in range(n_ode):
+        dparams[f"wf{i}"] = jnp.sum(out[f"dwf{i}"], axis=0)
+        dparams[f"bf{i}"] = jnp.sum(out[f"dbf{i}"], axis=0)
     dstreams = {"gi": out["dgi"].astype(streams["gi"].dtype)}
+    if "tdif" in streams:
+        dstreams["tdif"] = jnp.zeros_like(streams["tdif"])
     if cfg["has_dec"]:
         dstreams["hdec"] = jnp.sum(out["dhdec"], axis=0).astype(
             streams["hdec"].dtype)
@@ -311,7 +410,8 @@ _fused_gru.defvjp(_fused_gru_fwd, _fused_gru_bwd)
 
 
 def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
-                   stream_dtype=None, obs=None, hdec=None):
+                   stream_dtype=None, obs=None, hdec=None,
+                   ode_layers=None, tdif=None, ode_steps: int = 1):
     """Drop-in GRU recurrence: xs [L, B, C] -> hs [L, B, H], matching
     lax.scan over GRUCell (torch (r,z,n) gate semantics) exactly.
     reverse=True runs the backward-direction recurrence of a BiGRU
@@ -322,7 +422,11 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
                      pass the (decayed) state through); data, no grad.
       hdec [L, H]  — per-step hidden decay row applied BEFORE the cell
                      (GRU-D's exp(-relu(decay(dt)))); its cotangent
-                     chains back to the decay net via XLA autodiff."""
+                     chains back to the decay net via XLA autodiff.
+      ode_layers / tdif / ode_steps — ODE-RNN: euler-evolve the state
+                     in-kernel by the MLP (tanh inners + linear out)
+                     over ode_steps substeps of tdif[t]/ode_steps
+                     BEFORE the cell (mutually exclusive with hdec)."""
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
@@ -354,6 +458,21 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
         "whh": _pad_gates(_pad_to(cell.w_hh, Hp, 0), H, Hp),
         "bhh": _pad_gates(cell.b_hh, H, Hp)[None],
     }
+    HHp = 0
+    n_ode = 0
+    if ode_layers is not None:
+        n_ode = len(ode_layers)
+        HH = ode_layers[0].weight.shape[1] if n_ode > 1 else H
+        HHp = _round_up(max(HH, 8), LANE)
+        for i, lin in enumerate(ode_layers):
+            in_d = Hp if i == 0 else HHp
+            out_d = Hp if i == n_ode - 1 else HHp
+            params[f"wf{i}"] = _pad_to(_pad_to(lin.weight, in_d, 0),
+                                       out_d, 1)
+            params[f"bf{i}"] = _pad_to(lin.bias, out_d, 0)[None]
+        if reverse:
+            tdif = jnp.flip(tdif, axis=0)
+        streams["tdif"] = jnp.asarray(tdif, jnp.float32).reshape(-1, 1)
     h0p = _pad_to(h0.astype(jnp.float32), Hp, 1)
 
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
@@ -369,7 +488,8 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
         }
     hs = _fused_gru(params, streams, h0p, tuple(valid),
                     (Hp, mm_bf16, traj_bf16, hdec is not None,
-                     obs is not None), U)
+                     obs is not None, HHp, n_ode,
+                     ode_steps if n_ode else 0), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs
 

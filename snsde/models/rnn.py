@@ -64,8 +64,8 @@ class _ObservationGRUBase(Module):
         if (jax.default_backend() != "tpu"
                 or os.environ.get("SNSDE_NO_FUSED", "0") == "1"):
             return None
-        if type(self) not in (GRUdt, GRUD):
-            return None            # ODE-RNN etc: state-dependent evolve
+        if type(self) not in (GRUdt, GRUD, ODERNN):
+            return None
         from ..kernels.fused_em import is_batched
         from ..kernels.fused_rnn import fused_gru_scan, supports_fused_gru
 
@@ -90,8 +90,24 @@ class _ObservationGRUBase(Module):
         inp = jnp.concatenate(
             [inp[:, :, :1] + dt_acc[:, :, None], inp[:, :, 1:]], axis=-1)
         hdec = self._decay_rows(time_diffs)              # [L, H] | None
+        ode_layers = tdif = None
+        ode_steps = 1
+        if isinstance(self, ODERNN):
+            # euler-evolve by the MLP field IN-kernel (n layers, tanh
+            # inners + linear out — matches _func/evolve exactly)
+            from ..kernels.fused_rnn import _MAX_H
+
+            hh = (self.f_layers[0].weight.shape[1]
+                  if len(self.f_layers) > 1 else 0)
+            if hh > _MAX_H:
+                return None
+            ode_layers = self.f_layers
+            tdif = time_diffs
+            ode_steps = self.ode_steps
         return fused_gru_scan(self.gru, inp, h0=z0,
-                              obs=observed.astype(xs.dtype), hdec=hdec)
+                              obs=observed.astype(xs.dtype), hdec=hdec,
+                              ode_layers=ode_layers, tdif=tdif,
+                              ode_steps=ode_steps)
 
     def __call__(self, times, coeffs, final_index, *, z0=None,
                  stream: bool = False, key=None, train: bool = False):

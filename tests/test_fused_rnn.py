@@ -121,7 +121,7 @@ def test_seqrnn_dispatch_parity(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
-@pytest.mark.parametrize("name", ["grudt", "grud"])
+@pytest.mark.parametrize("name", ["grudt", "grud", "odernn"])
 def test_observation_gru_dispatch_parity(name, monkeypatch):
     """GRU-dt / GRU-D through the fused path (closed-form dt_acc, decay
     rows, masked updates) == the reference scan recurrence — outputs AND
@@ -142,8 +142,15 @@ def test_observation_gru_dispatch_parity(name, monkeypatch):
         axis=-1,
     )
     coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
-    cls = {"grudt": GRUdt, "grud": GRUD}[name]
-    model = cls.create(jax.random.PRNGKey(7), C, 6, 2)
+    from snsde.models.rnn import ODERNN
+
+    if name == "odernn":
+        model = ODERNN.create(jax.random.PRNGKey(7), C, 6, 2,
+                              hidden_hidden_channels=5,
+                              num_hidden_layers=2, ode_steps=2)
+    else:
+        cls = {"grudt": GRUdt, "grud": GRUD}[name]
+        model = cls.create(jax.random.PRNGKey(7), C, 6, 2)
     fin = jnp.full((B,), L - 1, jnp.int32)
 
     def loss(m):
