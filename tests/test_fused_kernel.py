@@ -289,3 +289,79 @@ def test_fused_cde_matches_scan_tpu(method):
         denom = float(np.abs(np.asarray(b)).max()) + 1e-8
         rel = float(np.abs(np.asarray(a) - np.asarray(b)).max()) / denom
         assert rel < 2e-2, rel
+
+
+@requires_tpu
+def test_fused_latent_matches_scan_tpu():
+    """Compiled latent-mode EM kernel vs the scan augmented system."""
+    from snsde.kernels.fused_em import fused_latent_em_solve
+    from snsde.models.latent_sde import LatentSDE
+    from snsde.models.neuralsde import resolve_dt
+    from snsde.ops.solve import sdeint
+
+    rng = np.random.default_rng(0)
+    B, C, H = 128, 5, 33
+    times = np.arange(10, dtype=np.float32)
+    model = LatentSDE.create(jax.random.PRNGKey(1), C, H, H, 2,
+                             method="euler")
+    aug0 = jnp.concatenate(
+        [jnp.asarray(rng.normal(size=(B, H - 1)), jnp.float32),
+         jnp.zeros((B, 1))], axis=-1)
+    key = jax.random.PRNGKey(5)
+    dt = resolve_dt(times)
+    ys_fused = fused_latent_em_solve(model, times, aug0, key, dt=dt)
+    with jax.default_matmul_precision("high"):
+        ys_scan = sdeint(model.f_aug, model.g_aug, aug0, times, key=key,
+                         dt=dt, method="euler")
+    np.testing.assert_allclose(np.asarray(ys_fused), np.asarray(ys_scan),
+                               atol=5e-3)
+
+
+@requires_tpu
+def test_fused_gru_matches_scan_tpu():
+    """Compiled GRU kernel (with GRU-D decay rows + observation masking)
+    vs lax.scan."""
+    from snsde.kernels.fused_rnn import fused_gru_scan
+    from snsde.nn.layers import GRUCell
+
+    rng = np.random.default_rng(1)
+    L, B, C, H = 19, 128, 5, 33
+    cell = GRUCell.create(jax.random.PRNGKey(2), C, H)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+    obs = jnp.asarray((rng.random((L, B)) < 0.5).astype(np.float32))
+    hdec = jnp.asarray(np.exp(-rng.random((L, H))), jnp.float32)
+
+    def step(h, x):
+        xi, ob, dec = x
+        h_in = h * dec[None]
+        h2 = cell(xi, h_in)
+        h2 = ob[:, None] * h2 + (1 - ob[:, None]) * h_in
+        return h2, h2
+
+    with jax.default_matmul_precision("high"):
+        _, hs_scan = jax.lax.scan(step, jnp.zeros((B, H)), (xs, obs, hdec))
+    hs_fused = fused_gru_scan(cell, xs, obs=obs, hdec=hdec)
+    np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),
+                               atol=5e-3)
+
+
+@requires_tpu
+def test_fused_lstm_matches_scan_tpu():
+    from snsde.kernels.fused_rnn import fused_lstm_scan
+    from snsde.nn.layers import LSTMCell
+
+    rng = np.random.default_rng(2)
+    L, B, C, H = 19, 128, 5, 33
+    cell = LSTMCell.create(jax.random.PRNGKey(3), C, H)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+    init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+
+    def step(carry, x):
+        h, carry = cell(x, carry)
+        return carry, h
+
+    with jax.default_matmul_precision("high"):
+        _, hs_scan = jax.lax.scan(step, init, xs)
+    hs_fused = fused_lstm_scan(cell, xs)
+    np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),
+                               atol=5e-3)
