@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_em import (LANE, _dot, _interpret, _pad_to, _pick_block,
-                       _round_up, is_batched)
+                       _round_up)
 
 __all__ = ["fused_gru_scan", "fused_lstm_scan",
            "supports_fused_gru", "supports_fused_lstm"]
@@ -617,8 +617,7 @@ def _lstm_specs(names, cfg, nk, block_b, U, reverse=False):
     return [by[n] for n in names]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_lstm(params, gi, valid_tuple, cfg_key, unroll):
+def _lstm_forward(params, gi, valid_tuple, cfg_key, unroll):
     cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
            "traj_bf16": cfg_key[2]}
     valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
@@ -648,14 +647,20 @@ def _fused_lstm(params, gi, valid_tuple, cfg_key, unroll):
     return hs, cs
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_lstm(params, gi, valid_tuple, cfg_key, unroll):
+    # the cell-state trajectory is an internal residual for the backward,
+    # NOT a differentiable output — only hs is exposed
+    hs, _ = _lstm_forward(params, gi, valid_tuple, cfg_key, unroll)
+    return hs
+
+
 def _fused_lstm_fwd(params, gi, valid_tuple, cfg_key, unroll):
-    hs, cs = _fused_lstm(params, gi, valid_tuple, cfg_key, unroll)
-    return (hs, cs), (params, gi, hs, cs)
+    hs, cs = _lstm_forward(params, gi, valid_tuple, cfg_key, unroll)
+    return hs, (params, gi, hs, cs)
 
 
-def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, g):
-    ghs, gcs = g
-    del gcs       # the cell-state trajectory is an internal residual
+def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
     params, gi, hs, cs = res
     cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
            "traj_bf16": cfg_key[2]}
@@ -733,7 +738,7 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None):
     valid = [1.0] * L + [0.0] * (Lp - L)
     if Lp > L:
         gi = jnp.pad(gi, ((0, Lp - L), (0, 0), (0, 0)))
-    hs, _ = _fused_lstm(params, gi, tuple(valid),
-                        (Hp, mm_bf16, traj_bf16), U)
+    hs = _fused_lstm(params, gi, tuple(valid),
+                     (Hp, mm_bf16, traj_bf16), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs

@@ -28,6 +28,15 @@ from ..ops.interp import CubicPath
 __all__ = ["GRUdt", "GRUD", "ODERNN", "SeqRNN", "SeqTransformer", "SeqCNN"]
 
 
+def _fused_rnn_enabled():
+    """Shared gate for the fused recurrent-kernel dispatch sites
+    (SeqRNN, the observation-GRU family, mtan._bigru)."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("SNSDE_NO_FUSED", "0") != "1")
+
+
 def _values_from_spline(times, coeffs):
     """Evaluate the control spline on the grid -> [B, L, C] (the reference
     evaluates the interpolant at every knot, other.py:50-51)."""
@@ -59,10 +68,7 @@ class _ObservationGRUBase(Module):
         dt_acc recurrence is data-only, so it closes over an exclusive
         prefix sum + running last-observation max instead of a scan.
         Returns hs [L, B, H] or None (scan fallback)."""
-        import os
-
-        if (jax.default_backend() != "tpu"
-                or os.environ.get("SNSDE_NO_FUSED", "0") == "1"):
+        if not _fused_rnn_enabled():
             return None
         if type(self) not in (GRUdt, GRUD, ODERNN):
             return None
@@ -263,7 +269,7 @@ class ODERNN(_ObservationGRUBase):
             f_layers=tuple(layers),
             input_channels=input_channels,
             use_intensity=use_intensity,
-            ode_steps=1,
+            ode_steps=ode_steps,
         )
 
     def _func(self, h):
@@ -323,10 +329,7 @@ class SeqRNN(Module):
 
     def _run(self, cell, xs, B, H, reverse=False):
         if isinstance(cell, LSTMCell):
-            import os
-
-            if (jax.default_backend() == "tpu"
-                    and os.environ.get("SNSDE_NO_FUSED", "0") != "1"):
+            if _fused_rnn_enabled():
                 from ..kernels.fused_em import is_batched
                 from ..kernels.fused_rnn import (fused_lstm_scan,
                                                  supports_fused_lstm)
@@ -339,10 +342,7 @@ class SeqRNN(Module):
                 h, carry = cell(x, carry)
                 return carry, h
         else:
-            import os
-
-            if (jax.default_backend() == "tpu"
-                    and os.environ.get("SNSDE_NO_FUSED", "0") != "1"):
+            if _fused_rnn_enabled():
                 from ..kernels.fused_em import is_batched
                 from ..kernels.fused_rnn import (fused_gru_scan,
                                                  supports_fused_gru)

@@ -50,10 +50,12 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
 
         model = SeqRNN.create(jax.random.fold_in(key, 1), C, H, 1,
                               kind="gru")
-        xs_full = jnp.asarray(Xa)
+        # the raw value stream rides the coeffs jit-arg slot — device data
+        # must be jit ARGS, never closures (CLAUDE.md HTTP-413 lesson)
+        coeffs = jnp.asarray(Xa)
 
         def loss_fn(m, coeffs, y, key):
-            out, _ = m(xs_full)
+            out, _ = m(coeffs)
             return bce_with_logits(out[:, -1, 0], y), m
     elif field == "latent":
         model = LatentSDE.create(jax.random.fold_in(key, 1), C, H, H,
