@@ -167,7 +167,10 @@ def _bwd_kernel(cfg, U, in_names, out_names, *refs):
         o["dwhh"][0] += _dot(h_in.T, dgh, mm)
         o["dbhh"][0] += jnp.sum(dgh, axis=0, keepdims=True)
         dh_in = dh_in + dh_next * zg + _dot(dgh, r["whh"][:].T, mm)
-        if cfg["has_dec"]:
+        if cfg["has_dec"] == 2:
+            o["dhdec"][u] = (dh_in * h).astype(o["dhdec"].dtype)
+            dh_prev = dh_in * r["hdec"][u]
+        elif cfg["has_dec"]:
             o["dhdec"][0, u] = jnp.sum(dh_in * h, axis=0, keepdims=True)
             dh_prev = dh_in * r["hdec"][u]
         elif cfg["n_ode"]:
@@ -201,10 +204,13 @@ def _specs(names, cfg, nk, block_b, U, reverse=False):
                             memory_space=pltpu.VMEM),
         "obs": pl.BlockSpec((U, block_b, Hp), kmap,
                             memory_space=pltpu.VMEM),
-        "hdec": pl.BlockSpec((U, 1, Hp),
-                             (lambda b, k: (nk - 1 - k, 0, 0)) if reverse
-                             else (lambda b, k: (k, 0, 0)),
-                             memory_space=pltpu.VMEM),
+        "hdec": (pl.BlockSpec((U, block_b, Hp), kmap,
+                              memory_space=pltpu.VMEM)
+                 if cfg.get("has_dec") == 2 else
+                 pl.BlockSpec((U, 1, Hp),
+                              (lambda b, k: (nk - 1 - k, 0, 0)) if reverse
+                              else (lambda b, k: (k, 0, 0)),
+                              memory_space=pltpu.VMEM)),
         "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
         "tdif": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
@@ -236,6 +242,9 @@ def _names(cfg, base):
 
 def _cfg(cfg_key):
     # (Hp, mm_bf16, traj_bf16, has_dec, has_obs[, HHp, n_ode, ode_steps])
+    # has_dec: 0 = none, 1 = per-step ROW decay (GRU-D: time-only),
+    #          2 = per-step per-SAMPLE decay stream (GRU-D-full: the
+    #          hidden decay depends on per-channel deltas)
     # n_ode > 0: ODE-RNN euler evolve by an in-kernel MLP (n_ode layers,
     # tanh inners + linear out) over ode_steps substeps of tdif/ode_steps
     return {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
@@ -353,7 +362,15 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
         pl.BlockSpec((1, block_b, Hp), lambda b, k: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if cfg["has_dec"]:
+    if cfg["has_dec"] == 2:
+        out_names.append("dhdec")
+        out_shapes.append(
+            jax.ShapeDtypeStruct((M, B, Hp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((U, block_b, Hp),
+                         lambda b, k: (nk - 1 - k, b, 0),
+                         memory_space=pltpu.VMEM))
+    elif cfg["has_dec"]:
         out_names.append("dhdec")
         out_shapes.append(
             jax.ShapeDtypeStruct((nb, M, 1, Hp), jnp.float32))
@@ -396,7 +413,9 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
     dstreams = {"gi": out["dgi"].astype(streams["gi"].dtype)}
     if "tdif" in streams:
         dstreams["tdif"] = jnp.zeros_like(streams["tdif"])
-    if cfg["has_dec"]:
+    if cfg["has_dec"] == 2:
+        dstreams["hdec"] = out["dhdec"].astype(streams["hdec"].dtype)
+    elif cfg["has_dec"]:
         dstreams["hdec"] = jnp.sum(out["dhdec"], axis=0).astype(
             streams["hdec"].dtype)
     if cfg["has_obs"]:
@@ -452,8 +471,14 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
     if obs is not None:
         streams["obs"] = jnp.broadcast_to(
             obs.astype(stream_dtype)[:, :, None], (L, B, Hp))
+    dec_mode = 0
     if hdec is not None:
-        streams["hdec"] = _pad_to(hdec, Hp, 1)[:, None, :]  # [L, 1, Hp]
+        if hdec.ndim == 3:                      # [L, B, H] per-sample decay
+            dec_mode = 2
+            streams["hdec"] = _pad_to(hdec, Hp, 2)
+        else:                                   # [L, H] time-only row
+            dec_mode = 1
+            streams["hdec"] = _pad_to(hdec, Hp, 1)[:, None, :]
     params = {
         "whh": _pad_gates(_pad_to(cell.w_hh, Hp, 0), H, Hp),
         "bhh": _pad_gates(cell.b_hh, H, Hp)[None],
@@ -487,7 +512,7 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
             for k, v in streams.items()
         }
     hs = _fused_gru(params, streams, h0p, tuple(valid),
-                    (Hp, mm_bf16, traj_bf16, hdec is not None,
+                    (Hp, mm_bf16, traj_bf16, dec_mode,
                      obs is not None, HHp, n_ode,
                      ode_steps if n_ode else 0), U)
     hs = hs[:L, :, :H].astype(jnp.float32)

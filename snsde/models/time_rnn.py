@@ -301,6 +301,10 @@ class GRUDFull(Module):
         B, L, D = x.shape
         H = self.hidden_size
 
+        hs = self._fused_path(x, mask, delta)
+        if hs is not None:
+            return hs
+
         def step(carry, inp):
             h, x_last = carry
             x_t, m_t, d_t = inp
@@ -326,6 +330,42 @@ class GRUDFull(Module):
         xs = (jnp.moveaxis(x, 1, 0), jnp.moveaxis(mask, 1, 0),
               jnp.moveaxis(delta, 1, 0))
         _, hs = jax.lax.scan(step, init, xs)
+        return jnp.moveaxis(hs, 0, 1)
+
+    def _fused_path(self, x, mask, delta):
+        """Fused-kernel route: the x_last recurrence is a data-only
+        forward fill (closed form via per-channel last-observation
+        indices), the input decay/imputation and gi projection are
+        precomputes, and the per-SAMPLE hidden decay rides the kernel's
+        full hdec stream. Returns hs [B, L, H] or None."""
+        from ..models.rnn import _fused_rnn_enabled
+
+        if not _fused_rnn_enabled():
+            return None
+        from ..kernels.fused_em import is_batched
+        from ..kernels.fused_rnn import fused_gru_scan, supports_fused_gru
+
+        if not supports_fused_gru(self) or is_batched(self, x, mask,
+                                                      delta):
+            return None
+        xs = jnp.moveaxis(x, 1, 0)                   # [L, B, D]
+        ms = jnp.moveaxis(mask, 1, 0)
+        ds = jnp.moveaxis(delta, 1, 0)
+        L = xs.shape[0]
+        # x_last BEFORE step t = value at the last observed step < t
+        idx = jnp.arange(L)[:, None, None]
+        marker = jnp.where(ms > 0.5, idx, -1)
+        last_incl = jax.lax.associative_scan(jnp.maximum, marker, axis=0)
+        last_excl = jnp.concatenate(
+            [jnp.full_like(marker[:1], -1), last_incl[:-1]], axis=0)
+        gathered = jnp.take_along_axis(xs, jnp.maximum(last_excl, 0),
+                                       axis=0)
+        x_last = jnp.where(last_excl >= 0, gathered, 0.0)
+        gx = jnp.exp(-jax.nn.relu(self.gamma_x(ds)))
+        x_hat = ms * xs + (1 - ms) * (gx * x_last + (1 - gx) * self.x_mean)
+        gh = jnp.exp(-jax.nn.relu(self.gamma_h(ds)))     # [L, B, H]
+        inp = jnp.concatenate([x_hat, ms], axis=-1)
+        hs = fused_gru_scan(self, inp, hdec=gh)
         return jnp.moveaxis(hs, 0, 1)
 
 

@@ -248,3 +248,40 @@ def test_seqrnn_lstm_dispatch_parity(monkeypatch):
     finally:
         monkeypatch.undo()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_grud_full_dispatch_parity(monkeypatch):
+    """GRUD-full (trainable input decay toward means + per-sample hidden
+    decay) through the fused path == the scan recurrence, outputs and
+    gradients incl. gamma_x/gamma_h/x_mean through the precomputes."""
+    from snsde.models.time_rnn import GRUDFull
+
+    rng = np.random.default_rng(9)
+    B, L, D, H = 5, 11, 3, 6
+    model = GRUDFull.create(jax.random.PRNGKey(11), D, H,
+                            x_mean=rng.normal(size=(D,)).astype(np.float32))
+    m = (rng.random((B, L, D)) < 0.5).astype(np.float32)
+    x = rng.normal(size=(B, L, D)).astype(np.float32) * m
+    # per-channel elapsed time since last observation
+    delta = rng.uniform(0.1, 1.0, (B, L, D)).astype(np.float32)
+    x, m, delta = jnp.asarray(x), jnp.asarray(m), jnp.asarray(delta)
+
+    def loss(mod):
+        return jnp.sum(mod(x, m, delta)[:, -1] ** 2)
+
+    l_scan, g_scan = filter_value_and_grad(loss)(model)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        l_fused, g_fused = filter_value_and_grad(loss)(model)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),
+                    jax.tree_util.tree_leaves(partition(g_scan)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-6)
+        compared += 1
+    assert compared >= 7   # w_ih/w_hh/b_ih/b_hh + gamma_x/gamma_h weights
