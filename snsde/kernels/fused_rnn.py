@@ -537,16 +537,24 @@ def _pad_gates4(x, H, Hp):
                            axis=-1)
 
 
-def _lstm_gates(cfg, r, h, c, gi):
+def _lstm_gates(cfg, r, h, c, gi, tg=None):
+    """One LSTM cell evaluation. tg (TGLSTM): [B, 3Hp] sigmoid time-gate
+    modifiers multiplying the i/f/o gates (models/time_rnn.TGLSTMCell)."""
     Hp = cfg["Hp"]
     g = gi + _dot(h, r["whh"][:], cfg["mm_bf16"]) + r["bhh"][:]
     ig = jax.nn.sigmoid(g[:, :Hp])
     fg = jax.nn.sigmoid(g[:, Hp:2 * Hp])
     gg = jnp.tanh(g[:, 2 * Hp:3 * Hp])
     og = jax.nn.sigmoid(g[:, 3 * Hp:])
+    sraw = None
+    if tg is not None:
+        sraw = (ig, fg, og)             # raw sigmoids, for the backward
+        ig = ig * tg[:, :Hp]
+        fg = fg * tg[:, Hp:2 * Hp]
+        og = og * tg[:, 2 * Hp:]
     c_next = fg * c + ig * gg
     h_next = og * jnp.tanh(c_next)
-    return h_next, c_next, (ig, fg, gg, og)
+    return h_next, c_next, (ig, fg, gg, og, sraw)
 
 
 def _lstm_fwd_kernel(cfg, U, names, *refs):
@@ -562,7 +570,15 @@ def _lstm_fwd_kernel(cfg, U, names, *refs):
     h, c = h_scr[:], c_scr[:]
     for u in range(U):
         gi = r["gi"][u].astype(jnp.float32)
-        h_next, c_next, _ = _lstm_gates(cfg, r, h, c, gi)
+        tg = (r["tg"][u].astype(jnp.float32) if cfg.get("has_tg")
+              else None)
+        h_next, c_next, _ = _lstm_gates(cfg, r, h, c, gi, tg)
+        if cfg.get("has_sel"):
+            # PLSTM phased time gate: leaky per-unit openness applied to
+            # BOTH carries (plstm.py:131-137)
+            sel = r["sel"][u].astype(jnp.float32)
+            h_next = sel * h_next + (1.0 - sel) * h
+            c_next = sel * c_next + (1.0 - sel) * c
         v = r["valid"][k * U + u, 0]
         h = v * h_next + (1.0 - v) * h
         c = v * c_next + (1.0 - v) * c
@@ -587,6 +603,7 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
         o["dwhh"][0] = jnp.zeros_like(o["dwhh"][0])
         o["dbhh"][0] = jnp.zeros_like(o["dbhh"][0])
 
+    Hp = cfg["Hp"]
     mm = cfg["mm_bf16"]
     gh, gc = gh_scr[:], gc_scr[:]
     for u in range(U - 1, -1, -1):
@@ -596,9 +613,24 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
         gi = r["gi"][u].astype(jnp.float32)
         v = r["valid"][(nk - 1 - k) * U + u, 0]
 
-        h_next, c_next, (ig, fg, gg, og) = _lstm_gates(cfg, r, h, c, gi)
+        tg = (r["tg"][u].astype(jnp.float32) if cfg.get("has_tg")
+              else None)
+        h_next, c_next, (ig, fg, gg, og, sraw) = _lstm_gates(
+            cfg, r, h, c, gi, tg)
         ghv = gh * v
         gcv = gc * v
+        dh_carry = jnp.zeros_like(ghv)
+        dc_carry = jnp.zeros_like(gcv)
+        if cfg.get("has_sel"):
+            sel = r["sel"][u].astype(jnp.float32)
+            # h_out = sel*h_next + (1-sel)*h  (likewise c): the sel
+            # cotangent and the pass-through carries
+            o["dsel"][u] = (ghv * (h_next - h)
+                            + gcv * (c_next - c)).astype(o["dsel"].dtype)
+            dh_carry = ghv * (1.0 - sel)
+            dc_carry = gcv * (1.0 - sel)
+            ghv = ghv * sel
+            gcv = gcv * sel
         tc = jnp.tanh(c_next)
         do = ghv * tc
         dc_n = gcv + ghv * og * (1.0 - tc * tc)
@@ -606,16 +638,27 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
         dc_prev = dc_n * fg
         di = dc_n * gg
         dg = dc_n * ig
-        di_pre = di * ig * (1.0 - ig)
-        df_pre = df * fg * (1.0 - fg)
+        if cfg.get("has_tg"):
+            # gate modifiers: d(sig(g)*tgx) splits between the gate
+            # pre-activation and the modifier stream (sraw = raw sigmoids)
+            si, sf, so = sraw
+            o["dtg"][u] = jnp.concatenate(
+                [di * si, df * sf, do * so], axis=-1
+            ).astype(o["dtg"].dtype)
+            di_pre = di * tg[:, :Hp] * si * (1.0 - si)
+            df_pre = df * tg[:, Hp:2 * Hp] * sf * (1.0 - sf)
+            do_pre = do * tg[:, 2 * Hp:] * so * (1.0 - so)
+        else:
+            di_pre = di * ig * (1.0 - ig)
+            df_pre = df * fg * (1.0 - fg)
+            do_pre = do * og * (1.0 - og)
         dg_pre = dg * (1.0 - gg * gg)
-        do_pre = do * og * (1.0 - og)
         dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
         o["dgi"][u] = dgates.astype(o["dgi"].dtype)
         o["dwhh"][0] += _dot(h.T, dgates, mm)
         o["dbhh"][0] += jnp.sum(dgates, axis=0, keepdims=True)
-        gh = _dot(dgates, r["whh"][:].T, mm) + (1.0 - v) * gh
-        gc = dc_prev + (1.0 - v) * gc
+        gh = _dot(dgates, r["whh"][:].T, mm) + dh_carry + (1.0 - v) * gh
+        gc = dc_prev + dc_carry + (1.0 - v) * gc
     gh_scr[:] = gh
     gc_scr[:] = gc
 
@@ -637,23 +680,42 @@ def _lstm_specs(names, cfg, nk, block_b, U, reverse=False):
                               memory_space=pltpu.VMEM),
         "ghs": pl.BlockSpec((U, block_b, Hp), kmap,
                             memory_space=pltpu.VMEM),
+        "sel": pl.BlockSpec((U, block_b, Hp), kmap,
+                            memory_space=pltpu.VMEM),
+        "tg": pl.BlockSpec((U, block_b, 3 * Hp), kmap,
+                           memory_space=pltpu.VMEM),
         "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
     return [by[n] for n in names]
 
 
-def _lstm_forward(params, gi, valid_tuple, cfg_key, unroll):
-    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
-           "traj_bf16": cfg_key[2]}
+def _lstm_names(cfg, base):
+    out = list(base)
+    if cfg.get("has_sel"):
+        out.insert(-1, "sel")
+    if cfg.get("has_tg"):
+        out.insert(-1, "tg")
+    return out
+
+
+def _lstm_cfg(cfg_key):
+    return {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
+            "traj_bf16": cfg_key[2],
+            "has_sel": cfg_key[3] if len(cfg_key) > 3 else False,
+            "has_tg": cfg_key[4] if len(cfg_key) > 4 else False}
+
+
+def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll):
+    cfg = _lstm_cfg(cfg_key)
     valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
     M = valid.shape[0]
-    B = gi.shape[1]
+    B = streams["gi"].shape[1]
     U = unroll
     nk = M // U
     block_b = _pick_block(B, 4 * cfg["Hp"])
     nb = B // block_b
-    names = ["whh", "bhh", "gi", "valid"]
-    vals = {"gi": gi, "valid": valid, **params}
+    names = _lstm_names(cfg, ["whh", "bhh", "gi", "valid"])
+    vals = {"valid": valid, **streams, **params}
     traj_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
     out_spec = pl.BlockSpec((U, block_b, cfg["Hp"]), lambda b, k: (k, b, 0),
                             memory_space=pltpu.VMEM)
@@ -673,22 +735,21 @@ def _lstm_forward(params, gi, valid_tuple, cfg_key, unroll):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_lstm(params, gi, valid_tuple, cfg_key, unroll):
+def _fused_lstm(params, streams, valid_tuple, cfg_key, unroll):
     # the cell-state trajectory is an internal residual for the backward,
     # NOT a differentiable output — only hs is exposed
-    hs, _ = _lstm_forward(params, gi, valid_tuple, cfg_key, unroll)
+    hs, _ = _lstm_forward(params, streams, valid_tuple, cfg_key, unroll)
     return hs
 
 
-def _fused_lstm_fwd(params, gi, valid_tuple, cfg_key, unroll):
-    hs, cs = _lstm_forward(params, gi, valid_tuple, cfg_key, unroll)
-    return hs, (params, gi, hs, cs)
+def _fused_lstm_fwd(params, streams, valid_tuple, cfg_key, unroll):
+    hs, cs = _lstm_forward(params, streams, valid_tuple, cfg_key, unroll)
+    return hs, (params, streams, hs, cs)
 
 
 def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
-    params, gi, hs, cs = res
-    cfg = {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
-           "traj_bf16": cfg_key[2]}
+    params, streams, hs, cs = res
+    cfg = _lstm_cfg(cfg_key)
     valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
     M, B, Hp = hs.shape
     U = unroll
@@ -698,46 +759,73 @@ def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
     zrow = jnp.zeros_like(hs[:1])
     hprev = jnp.concatenate([zrow, hs[:-1]], axis=0)
     cprev = jnp.concatenate([zrow, cs[:-1]], axis=0)
-    in_names = ["hprev", "cprev", "ghs", "whh", "bhh", "gi", "valid"]
-    vals = {"hprev": hprev, "cprev": cprev, "ghs": ghs, "gi": gi,
-            "valid": valid, **params}
+    in_names = _lstm_names(
+        cfg, ["hprev", "cprev", "ghs", "whh", "bhh", "gi", "valid"])
+    vals = {"hprev": hprev, "cprev": cprev, "ghs": ghs,
+            "valid": valid, **streams, **params}
     stream_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
     out_names = ["dwhh", "dbhh", "dgi"]
+    rev = lambda b, k: (nk - 1 - k, b, 0)
+    out_specs = [
+        pl.BlockSpec((1, Hp, 4 * Hp), lambda b, k: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 4 * Hp), lambda b, k: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((U, block_b, 4 * Hp), rev, memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nb, Hp, 4 * Hp), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, 4 * Hp), jnp.float32),
+        jax.ShapeDtypeStruct((M, B, 4 * Hp), stream_dtype),
+    ]
+    if cfg["has_sel"]:
+        out_names.append("dsel")
+        out_shapes.append(jax.ShapeDtypeStruct((M, B, Hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((U, block_b, Hp), rev,
+                                      memory_space=pltpu.VMEM))
+    if cfg["has_tg"]:
+        out_names.append("dtg")
+        out_shapes.append(
+            jax.ShapeDtypeStruct((M, B, 3 * Hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((U, block_b, 3 * Hp), rev,
+                                      memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         functools.partial(_lstm_bwd_kernel, cfg, U, in_names, out_names),
         grid=(nb, nk),
         in_specs=_lstm_specs(in_names, cfg, nk, block_b, U, reverse=True),
-        out_specs=[
-            pl.BlockSpec((1, Hp, 4 * Hp), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4 * Hp), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, block_b, 4 * Hp),
-                         lambda b, k: (nk - 1 - k, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, Hp, 4 * Hp), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, 4 * Hp), jnp.float32),
-            jax.ShapeDtypeStruct((M, B, 4 * Hp), stream_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((block_b, Hp), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
     )(*[vals[n] for n in in_names])
-    dwhh, dbhh, dgi = outs
-    dparams = {"whh": jnp.sum(dwhh, axis=0), "bhh": jnp.sum(dbhh, axis=0)}
-    return dparams, dgi.astype(gi.dtype)
+    out = dict(zip(out_names, outs))
+    dparams = {"whh": jnp.sum(out["dwhh"], axis=0),
+               "bhh": jnp.sum(out["dbhh"], axis=0)}
+    dstreams = {"gi": out["dgi"].astype(streams["gi"].dtype)}
+    if cfg["has_sel"]:
+        dstreams["sel"] = out["dsel"].astype(streams["sel"].dtype)
+    if cfg["has_tg"]:
+        dstreams["tg"] = out["dtg"].astype(streams["tg"].dtype)
+    return dparams, dstreams
 
 
 _fused_lstm.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
 
 
-def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None):
+def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
+                    sel=None, tg=None):
     """Drop-in LSTM recurrence from zero (h, c): xs [L, B, C] ->
-    hs [L, B, H], matching lax.scan over LSTMCell exactly."""
+    hs [L, B, H], matching lax.scan over LSTMCell exactly.
+
+    sel [L, B, H] — PLSTM phased time gate: per-unit openness selecting
+                    between the cell update and the previous (h, c)
+                    (differentiated: grads reach periods/shifts/on_end
+                    through the precompute).
+    tg  [L, B, 3H] — TGLSTM sigmoid time-gate modifiers multiplying the
+                    i/f/o gates (differentiated)."""
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
@@ -749,8 +837,16 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None):
     Hp = _round_up(max(H, 8), LANE)
     if reverse:
         xs = jnp.flip(xs, axis=0)
+        if sel is not None:
+            sel = jnp.flip(sel, axis=0)
+        if tg is not None:
+            tg = jnp.flip(tg, axis=0)
     gi = xs @ cell.w_ih + cell.b_ih                 # [L, B, 4H]
-    gi = _pad_gates4(gi, H, Hp).astype(stream_dtype)
+    streams = {"gi": _pad_gates4(gi, H, Hp).astype(stream_dtype)}
+    if sel is not None:
+        streams["sel"] = _pad_to(sel, Hp, 2).astype(stream_dtype)
+    if tg is not None:
+        streams["tg"] = _pad_gates(tg, H, Hp).astype(stream_dtype)
     params = {
         "whh": _pad_gates4(_pad_to(cell.w_hh, Hp, 0), H, Hp),
         "bhh": _pad_gates4(cell.b_hh, H, Hp)[None],
@@ -762,8 +858,12 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None):
     Lp = _round_up(L, U)
     valid = [1.0] * L + [0.0] * (Lp - L)
     if Lp > L:
-        gi = jnp.pad(gi, ((0, Lp - L), (0, 0), (0, 0)))
-    hs = _fused_lstm(params, gi, tuple(valid),
-                     (Hp, mm_bf16, traj_bf16), U)
+        streams = {
+            k: jnp.pad(v, ((0, Lp - L),) + ((0, 0),) * (v.ndim - 1))
+            for k, v in streams.items()
+        }
+    hs = _fused_lstm(params, streams, tuple(valid),
+                     (Hp, mm_bf16, traj_bf16, sel is not None,
+                      tg is not None), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs

@@ -173,6 +173,44 @@ class TGLSTMCell(Module):
         return h, (h, c)
 
 
+def _fused_time_lstm(cell, xs, ts, cell_kind: str):
+    """Route one PLSTM/TGLSTM layer through the fused LSTM kernel: both
+    cells are a torch-ordered LSTM plus a DATA-only time modulation —
+    PLSTM's phased openness k(t) becomes the kernel's sel stream (applied
+    to both carries), TGLSTM's sigmoid time-gates become the tg
+    gate-modifier stream. Grads to the time parameters ride the stream
+    precomputes. Returns hs [L, B, H] or None (scan fallback)."""
+    import types
+
+    from .rnn import _fused_rnn_enabled
+
+    if not _fused_rnn_enabled() or cell_kind not in ("plstm", "tglstm"):
+        return None
+    from ..kernels.fused_em import is_batched
+    from ..kernels.fused_rnn import fused_lstm_scan, supports_fused_lstm
+
+    if is_batched(cell, xs, ts):
+        return None
+    H = cell.hidden_size
+    L = xs.shape[0]
+    if cell_kind == "plstm":
+        adapter = types.SimpleNamespace(
+            w_ih=cell.W, w_hh=cell.U, b_ih=cell.bias,
+            b_hh=jnp.zeros((4 * H,), cell.bias.dtype), hidden_size=H)
+        if not supports_fused_lstm(adapter):
+            return None
+        sel = cell._time_gate(ts.reshape(-1)).reshape(L, ts.shape[1], H)
+        return fused_lstm_scan(adapter, xs, sel=sel)
+    w = cell.weights.weight
+    adapter = types.SimpleNamespace(
+        w_ih=w[H:], w_hh=w[:H], b_ih=cell.weights.bias,
+        b_hh=jnp.zeros((4 * H,), w.dtype), hidden_size=H)
+    if not supports_fused_lstm(adapter):
+        return None
+    tg = jax.nn.sigmoid(cell.weight_t(ts[:, :, None]))   # [L, B, 3H]
+    return fused_lstm_scan(adapter, xs, tg=tg)
+
+
 def _stack_scan(cells, xs, ts, cell_kind: str):
     """Run stacked time-aware cells over [L, B, ·] inputs."""
     out = xs
@@ -180,6 +218,15 @@ def _stack_scan(cells, xs, ts, cell_kind: str):
     for cell in cells:
         B = out.shape[1]
         H = cell.hidden_size
+
+        hs_fused = _fused_time_lstm(cell, out, ts, cell_kind)
+        if hs_fused is not None:
+            out = hs_fused
+            # the registry discards per-layer final (h, c); the fused
+            # path exposes the final h only
+            finals.append((hs_fused[-1], None))
+            continue
+
         init = (jnp.zeros((B, H), out.dtype), jnp.zeros((B, H), out.dtype))
 
         def step(state, inp):

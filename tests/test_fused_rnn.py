@@ -285,3 +285,40 @@ def test_grud_full_dispatch_parity(monkeypatch):
                                    rtol=3e-4, atol=3e-6)
         compared += 1
     assert compared >= 7   # w_ih/w_hh/b_ih/b_hh + gamma_x/gamma_h weights
+
+
+@pytest.mark.parametrize("kind", ["plstm", "tglstm"])
+def test_time_lstm_dispatch_parity(kind, monkeypatch):
+    """PLSTM (phased sel stream) / TGLSTM (gate-modifier stream) through
+    the fused LSTM kernel == the scan cells, outputs AND gradients incl.
+    the time parameters through the stream precomputes."""
+    from snsde.models.time_rnn import PLSTM, TGLSTM
+
+    rng = np.random.default_rng(12)
+    B, L, D, H = 5, 11, 3, 6
+    cls = {"plstm": PLSTM, "tglstm": TGLSTM}[kind]
+    model = cls.create(jax.random.PRNGKey(13), D, H, num_layers=2)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    ts = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, (B, L)), axis=1),
+                     jnp.float32)
+
+    def loss(m):
+        out, _ = m(x, ts)
+        return jnp.sum(out[:, -1] ** 2)
+
+    l_scan, g_scan = filter_value_and_grad(loss)(model)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        l_fused, g_fused = filter_value_and_grad(loss)(model)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),
+                    jax.tree_util.tree_leaves(partition(g_scan)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+        compared += 1
+    assert compared >= 6
