@@ -573,6 +573,11 @@ def _lstm_fwd_kernel(cfg, U, names, *refs):
         tg = (r["tg"][u].astype(jnp.float32) if cfg.get("has_tg")
               else None)
         h_next, c_next, _ = _lstm_gates(cfg, r, h, c, gi, tg)
+        if cfg.get("n_ode"):
+            # ODE-LSTM: euler-evolve the OUTPUT state between
+            # observations (per-sample dt stream; c passes through)
+            h_next, _ = _ode_evolve(cfg, r, h_next,
+                                    r["odt"][u].astype(jnp.float32))
         if cfg.get("has_sel"):
             # PLSTM phased time gate: leaky per-unit openness applied to
             # BOTH carries (plstm.py:131-137)
@@ -602,6 +607,9 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
         gc_scr[:] = jnp.zeros_like(gc_scr)
         o["dwhh"][0] = jnp.zeros_like(o["dwhh"][0])
         o["dbhh"][0] = jnp.zeros_like(o["dbhh"][0])
+        for i in range(cfg.get("n_ode", 0)):
+            o[f"dwf{i}"][0] = jnp.zeros_like(o[f"dwf{i}"][0])
+            o[f"dbf{i}"][0] = jnp.zeros_like(o[f"dbf{i}"][0])
 
     Hp = cfg["Hp"]
     mm = cfg["mm_bf16"]
@@ -617,6 +625,10 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
               else None)
         h_next, c_next, (ig, fg, gg, og, sraw) = _lstm_gates(
             cfg, r, h, c, gi, tg)
+        subs = None
+        if cfg.get("n_ode"):
+            odt = r["odt"][u].astype(jnp.float32)
+            h_next, subs = _ode_evolve(cfg, r, h_next, odt)
         ghv = gh * v
         gcv = gc * v
         dh_carry = jnp.zeros_like(ghv)
@@ -631,6 +643,8 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
             dc_carry = gcv * (1.0 - sel)
             ghv = ghv * sel
             gcv = gcv * sel
+        if cfg.get("n_ode"):
+            ghv = _ode_evolve_bwd(cfg, r, subs, odt, ghv, o)
         tc = jnp.tanh(c_next)
         do = ghv * tc
         dc_n = gcv + ghv * og * (1.0 - tc * tc)
@@ -684,9 +698,20 @@ def _lstm_specs(names, cfg, nk, block_b, U, reverse=False):
                             memory_space=pltpu.VMEM),
         "tg": pl.BlockSpec((U, block_b, 3 * Hp), kmap,
                            memory_space=pltpu.VMEM),
+        "odt": pl.BlockSpec((U, block_b, Hp), kmap,
+                            memory_space=pltpu.VMEM),
         "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
-    return [by[n] for n in names]
+    HHp = cfg.get("HHp", 0)
+    n = cfg.get("n_ode", 0)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, k: (0,) * len(shape), memory_space=pltpu.VMEM)
+    for i in range(n):
+        in_d = Hp if i == 0 else HHp
+        out_d = Hp if i == n - 1 else HHp
+        by[f"wf{i}"] = const((in_d, out_d))
+        by[f"bf{i}"] = const((1, out_d))
+    return [by[n_] for n_ in names]
 
 
 def _lstm_names(cfg, base):
@@ -695,14 +720,25 @@ def _lstm_names(cfg, base):
         out.insert(-1, "sel")
     if cfg.get("has_tg"):
         out.insert(-1, "tg")
+    for i in range(cfg.get("n_ode", 0)):
+        out.insert(-1, f"wf{i}")
+        out.insert(-1, f"bf{i}")
+    if cfg.get("n_ode"):
+        out.insert(-1, "odt")
     return out
 
 
 def _lstm_cfg(cfg_key):
+    # (Hp, mm, tb, has_sel, has_tg[, HHp, n_ode, ode_steps]) — n_ode > 0:
+    # ODE-LSTM euler evolve of h AFTER the cell by an in-kernel MLP with
+    # a PER-SAMPLE dt stream ('odt', pre-divided by ode_steps)
     return {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
             "traj_bf16": cfg_key[2],
             "has_sel": cfg_key[3] if len(cfg_key) > 3 else False,
-            "has_tg": cfg_key[4] if len(cfg_key) > 4 else False}
+            "has_tg": cfg_key[4] if len(cfg_key) > 4 else False,
+            "HHp": cfg_key[5] if len(cfg_key) > 5 else 0,
+            "n_ode": cfg_key[6] if len(cfg_key) > 6 else 0,
+            "ode_steps": cfg_key[7] if len(cfg_key) > 7 else 0}
 
 
 def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll):
@@ -789,6 +825,20 @@ def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
             jax.ShapeDtypeStruct((M, B, 3 * Hp), jnp.float32))
         out_specs.append(pl.BlockSpec((U, block_b, 3 * Hp), rev,
                                       memory_space=pltpu.VMEM))
+    HHp = cfg["HHp"]
+    n_ode = cfg["n_ode"]
+    for i in range(n_ode):
+        in_d = Hp if i == 0 else HHp
+        out_d = Hp if i == n_ode - 1 else HHp
+        out_names += [f"dwf{i}", f"dbf{i}"]
+        out_shapes += [jax.ShapeDtypeStruct((nb, in_d, out_d), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, 1, out_d), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((1, in_d, out_d), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, out_d), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     outs = pl.pallas_call(
         functools.partial(_lstm_bwd_kernel, cfg, U, in_names, out_names),
         grid=(nb, nk),
@@ -809,6 +859,12 @@ def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
         dstreams["sel"] = out["dsel"].astype(streams["sel"].dtype)
     if cfg["has_tg"]:
         dstreams["tg"] = out["dtg"].astype(streams["tg"].dtype)
+    for i in range(n_ode):
+        dparams[f"wf{i}"] = jnp.sum(out[f"dwf{i}"], axis=0)
+        dparams[f"bf{i}"] = jnp.sum(out[f"dbf{i}"], axis=0)
+    if "odt" in streams:
+        # per-sample dts come from data timestamps — zero cotangent
+        dstreams["odt"] = jnp.zeros_like(streams["odt"])
     return dparams, dstreams
 
 
@@ -816,7 +872,8 @@ _fused_lstm.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
 
 
 def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
-                    sel=None, tg=None):
+                    sel=None, tg=None, ode_layers=None, odt=None,
+                    ode_steps: int = 1):
     """Drop-in LSTM recurrence from zero (h, c): xs [L, B, C] ->
     hs [L, B, H], matching lax.scan over LSTMCell exactly.
 
@@ -825,7 +882,10 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
                     (differentiated: grads reach periods/shifts/on_end
                     through the precompute).
     tg  [L, B, 3H] — TGLSTM sigmoid time-gate modifiers multiplying the
-                    i/f/o gates (differentiated)."""
+                    i/f/o gates (differentiated).
+    ode_layers / odt / ode_steps — ODE-LSTM: euler-evolve h AFTER the
+                    cell by the in-kernel MLP over ode_steps substeps of
+                    the PER-SAMPLE dt stream odt [L, B]."""
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
@@ -851,6 +911,23 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
         "whh": _pad_gates4(_pad_to(cell.w_hh, Hp, 0), H, Hp),
         "bhh": _pad_gates4(cell.b_hh, H, Hp)[None],
     }
+    HHp = 0
+    n_ode = 0
+    if ode_layers is not None:
+        n_ode = len(ode_layers)
+        HH = ode_layers[0].weight.shape[1] if n_ode > 1 else H
+        HHp = _round_up(max(HH, 8), LANE)
+        for i, lin in enumerate(ode_layers):
+            in_d = Hp if i == 0 else HHp
+            out_d = Hp if i == n_ode - 1 else HHp
+            params[f"wf{i}"] = _pad_to(_pad_to(lin.weight, in_d, 0),
+                                       out_d, 1)
+            params[f"bf{i}"] = _pad_to(lin.bias, out_d, 0)[None]
+        if reverse:
+            odt = jnp.flip(odt, axis=0)
+        streams["odt"] = jnp.broadcast_to(
+            (odt / ode_steps).astype(stream_dtype)[:, :, None],
+            (L, odt.shape[1], Hp))
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
     U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
@@ -864,6 +941,7 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
         }
     hs = _fused_lstm(params, streams, tuple(valid),
                      (Hp, mm_bf16, traj_bf16, sel is not None,
-                      tg is not None), U)
+                      tg is not None, HHp, n_ode,
+                      ode_steps if n_ode else 0), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs

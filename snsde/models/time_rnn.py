@@ -467,6 +467,23 @@ class ODELSTM(Module):
         B = x.shape[0]
         H = self.lstm.hidden_size
 
+        from .rnn import _fused_rnn_enabled
+
+        if _fused_rnn_enabled() and self.solver == "euler":
+            from ..kernels.fused_em import is_batched
+            from ..kernels.fused_rnn import (fused_lstm_scan,
+                                             supports_fused_lstm)
+
+            if (supports_fused_lstm(self.lstm)
+                    and not is_batched(self, x, timestamps)):
+                # LSTM cell + per-sample euler MLP evolve of h, in-kernel
+                hs = fused_lstm_scan(
+                    self.lstm, jnp.moveaxis(x, 1, 0),
+                    ode_layers=(self.f1, self.f2),
+                    odt=jnp.moveaxis(timestamps, 1, 0),
+                    ode_steps=self.ode_steps)
+                return jnp.moveaxis(hs, 0, 1)
+
         def step(state, inp):
             h, c = state
             x_t, dt_t = inp

@@ -322,3 +322,37 @@ def test_time_lstm_dispatch_parity(kind, monkeypatch):
                                    rtol=5e-4, atol=5e-6)
         compared += 1
     assert compared >= 6
+
+
+def test_odelstm_dispatch_parity(monkeypatch):
+    """ODE-LSTM (euler, per-sample dt, in-kernel MLP evolve of h after
+    the cell) through the fused path == scan, outputs AND gradients
+    incl. the f1/f2 field weights."""
+    from snsde.models.time_rnn import ODELSTM
+
+    rng = np.random.default_rng(14)
+    B, L, D, H = 5, 11, 3, 6
+    model = ODELSTM.create(jax.random.PRNGKey(15), D, H, solver="euler",
+                           ode_steps=2)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    ts = jnp.asarray(rng.uniform(0.1, 1.0, (B, L)), jnp.float32)
+
+    def loss(m):
+        return jnp.sum(m(x, ts)[:, -1] ** 2)
+
+    l_scan, g_scan = filter_value_and_grad(loss)(model)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        l_fused, g_fused = filter_value_and_grad(loss)(model)
+    finally:
+        monkeypatch.undo()
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    compared = 0
+    for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),
+                    jax.tree_util.tree_leaves(partition(g_scan)[0])):
+        if a is None or b is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+        compared += 1
+    assert compared >= 6   # lstm weights + f1/f2
