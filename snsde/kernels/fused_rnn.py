@@ -391,6 +391,16 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
             pl.BlockSpec((1, 1, out_d), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if cfg.get("kind") == "tlstm":
+        out_names += ["dwd", "dbd"]
+        out_shapes += [jax.ShapeDtypeStruct((nb, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, 1, Hp), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((1, Hp, Hp), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hp), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     kernel = functools.partial(_bwd_kernel, cfg, U, in_names, out_names)
     outs = pl.pallas_call(
         kernel,
@@ -537,10 +547,25 @@ def _pad_gates4(x, H, Hp):
                            axis=-1)
 
 
-def _lstm_gates(cfg, r, h, c, gi, tg=None):
+def _lstm_gates(cfg, r, h, c, gi, tg=None, tel=None):
     """One LSTM cell evaluation. tg (TGLSTM): [B, 3Hp] sigmoid time-gate
-    modifiers multiplying the i/f/o gates (models/time_rnn.TGLSTMCell)."""
+    modifiers multiplying the i/f/o gates (models/time_rnn.TGLSTMCell).
+    tel (TLSTM): per-sample elapsed-time factor — the short-term memory
+    component tanh(c @ wd + bd) is rescaled by tel before the
+    (f, i, o, sigmoid-candidate) gate update (time_rnn.TLSTMCell)."""
     Hp = cfg["Hp"]
+    if cfg.get("kind") == "tlstm":
+        c_short = jnp.tanh(_dot(c, r["wd"][:], cfg["mm_bf16"])
+                           + r["bd"][:])
+        c_adj = c - c_short + c_short * tel
+        g = gi + _dot(h, r["whh"][:], cfg["mm_bf16"]) + r["bhh"][:]
+        fg = jax.nn.sigmoid(g[:, :Hp])
+        ig = jax.nn.sigmoid(g[:, Hp:2 * Hp])
+        og = jax.nn.sigmoid(g[:, 2 * Hp:3 * Hp])
+        ct = jax.nn.sigmoid(g[:, 3 * Hp:])
+        c_next = fg * c_adj + ig * ct
+        h_next = og * jnp.tanh(c_next)
+        return h_next, c_next, (ig, fg, ct, og, (c_short, c_adj))
     g = gi + _dot(h, r["whh"][:], cfg["mm_bf16"]) + r["bhh"][:]
     ig = jax.nn.sigmoid(g[:, :Hp])
     fg = jax.nn.sigmoid(g[:, Hp:2 * Hp])
@@ -572,7 +597,9 @@ def _lstm_fwd_kernel(cfg, U, names, *refs):
         gi = r["gi"][u].astype(jnp.float32)
         tg = (r["tg"][u].astype(jnp.float32) if cfg.get("has_tg")
               else None)
-        h_next, c_next, _ = _lstm_gates(cfg, r, h, c, gi, tg)
+        tel = (r["tel"][u].astype(jnp.float32)
+               if cfg.get("kind") == "tlstm" else None)
+        h_next, c_next, _ = _lstm_gates(cfg, r, h, c, gi, tg, tel)
         if cfg.get("n_ode"):
             # ODE-LSTM: euler-evolve the OUTPUT state between
             # observations (per-sample dt stream; c passes through)
@@ -610,6 +637,9 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
         for i in range(cfg.get("n_ode", 0)):
             o[f"dwf{i}"][0] = jnp.zeros_like(o[f"dwf{i}"][0])
             o[f"dbf{i}"][0] = jnp.zeros_like(o[f"dbf{i}"][0])
+        if cfg.get("kind") == "tlstm":
+            o["dwd"][0] = jnp.zeros_like(o["dwd"][0])
+            o["dbd"][0] = jnp.zeros_like(o["dbd"][0])
 
     Hp = cfg["Hp"]
     mm = cfg["mm_bf16"]
@@ -623,8 +653,10 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
 
         tg = (r["tg"][u].astype(jnp.float32) if cfg.get("has_tg")
               else None)
+        tel = (r["tel"][u].astype(jnp.float32)
+               if cfg.get("kind") == "tlstm" else None)
         h_next, c_next, (ig, fg, gg, og, sraw) = _lstm_gates(
-            cfg, r, h, c, gi, tg)
+            cfg, r, h, c, gi, tg, tel)
         subs = None
         if cfg.get("n_ode"):
             odt = r["odt"][u].astype(jnp.float32)
@@ -648,6 +680,32 @@ def _lstm_bwd_kernel(cfg, U, in_names, out_names, *refs):
         tc = jnp.tanh(c_next)
         do = ghv * tc
         dc_n = gcv + ghv * og * (1.0 - tc * tc)
+        if cfg.get("kind") == "tlstm":
+            # gates are (f, i, o, sigmoid-candidate) on the time-adjusted
+            # cell state c_adj = c + tanh(c@wd+bd) * (tel - 1)
+            c_short, c_adj = sraw
+            ct = gg
+            df = dc_n * c_adj
+            di = dc_n * ct
+            dct = dc_n * ig
+            dc_adj = dc_n * fg
+            df_pre = df * fg * (1.0 - fg)
+            di_pre = di * ig * (1.0 - ig)
+            do_pre = do * og * (1.0 - og)
+            dct_pre = dct * ct * (1.0 - ct)
+            dgates = jnp.concatenate(
+                [df_pre, di_pre, do_pre, dct_pre], axis=-1)
+            o["dgi"][u] = dgates.astype(o["dgi"].dtype)
+            o["dwhh"][0] += _dot(h.T, dgates, mm)
+            o["dbhh"][0] += jnp.sum(dgates, axis=0, keepdims=True)
+            dcs = dc_adj * (tel - 1.0)
+            dzd = dcs * (1.0 - c_short * c_short)
+            o["dwd"][0] += _dot(c.T, dzd, mm)
+            o["dbd"][0] += jnp.sum(dzd, axis=0, keepdims=True)
+            dc_prev = dc_adj + _dot(dzd, r["wd"][:].T, mm)
+            gh = _dot(dgates, r["whh"][:].T, mm) + dh_carry                 + (1.0 - v) * gh
+            gc = dc_prev + dc_carry + (1.0 - v) * gc
+            continue
         df = dc_n * c
         dc_prev = dc_n * fg
         di = dc_n * gg
@@ -700,6 +758,12 @@ def _lstm_specs(names, cfg, nk, block_b, U, reverse=False):
                            memory_space=pltpu.VMEM),
         "odt": pl.BlockSpec((U, block_b, Hp), kmap,
                             memory_space=pltpu.VMEM),
+        "tel": pl.BlockSpec((U, block_b, Hp), kmap,
+                            memory_space=pltpu.VMEM),
+        "wd": pl.BlockSpec((Hp, Hp), lambda b, k: (0, 0),
+                           memory_space=pltpu.VMEM),
+        "bd": pl.BlockSpec((1, Hp), lambda b, k: (0, 0),
+                           memory_space=pltpu.VMEM),
         "valid": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
     HHp = cfg.get("HHp", 0)
@@ -725,20 +789,28 @@ def _lstm_names(cfg, base):
         out.insert(-1, f"bf{i}")
     if cfg.get("n_ode"):
         out.insert(-1, "odt")
+    if cfg.get("kind") == "tlstm":
+        out.insert(-1, "wd")
+        out.insert(-1, "bd")
+        out.insert(-1, "tel")
     return out
 
 
 def _lstm_cfg(cfg_key):
-    # (Hp, mm, tb, has_sel, has_tg[, HHp, n_ode, ode_steps]) — n_ode > 0:
-    # ODE-LSTM euler evolve of h AFTER the cell by an in-kernel MLP with
-    # a PER-SAMPLE dt stream ('odt', pre-divided by ode_steps)
+    # (Hp, mm, tb, has_sel, has_tg[, HHp, n_ode, ode_steps, kind]) —
+    # n_ode > 0: ODE-LSTM euler evolve of h AFTER the cell by an
+    # in-kernel MLP with a PER-SAMPLE dt stream ('odt', pre-divided by
+    # ode_steps). kind='tlstm': TLSTM memory decomposition — the cell
+    # state is adjusted by a learned short-term component discounted by
+    # elapsed time BEFORE (f,i,o,sigmoid-candidate)-ordered gates.
     return {"Hp": cfg_key[0], "mm_bf16": cfg_key[1],
             "traj_bf16": cfg_key[2],
             "has_sel": cfg_key[3] if len(cfg_key) > 3 else False,
             "has_tg": cfg_key[4] if len(cfg_key) > 4 else False,
             "HHp": cfg_key[5] if len(cfg_key) > 5 else 0,
             "n_ode": cfg_key[6] if len(cfg_key) > 6 else 0,
-            "ode_steps": cfg_key[7] if len(cfg_key) > 7 else 0}
+            "ode_steps": cfg_key[7] if len(cfg_key) > 7 else 0,
+            "kind": cfg_key[8] if len(cfg_key) > 8 else "lstm"}
 
 
 def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll):
@@ -839,6 +911,16 @@ def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
             pl.BlockSpec((1, 1, out_d), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if cfg.get("kind") == "tlstm":
+        out_names += ["dwd", "dbd"]
+        out_shapes += [jax.ShapeDtypeStruct((nb, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, 1, Hp), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((1, Hp, Hp), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hp), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     outs = pl.pallas_call(
         functools.partial(_lstm_bwd_kernel, cfg, U, in_names, out_names),
         grid=(nb, nk),
@@ -862,6 +944,12 @@ def _fused_lstm_bwd(valid_tuple, cfg_key, unroll, res, ghs):
     for i in range(n_ode):
         dparams[f"wf{i}"] = jnp.sum(out[f"dwf{i}"], axis=0)
         dparams[f"bf{i}"] = jnp.sum(out[f"dbf{i}"], axis=0)
+    if cfg.get("kind") == "tlstm":
+        dparams["wd"] = jnp.sum(out["dwd"], axis=0)
+        dparams["bd"] = jnp.sum(out["dbd"], axis=0)
+    if "tel" in streams:
+        # elapsed times come from data timestamps — zero cotangent
+        dstreams["tel"] = jnp.zeros_like(streams["tel"])
     if "odt" in streams:
         # per-sample dts come from data timestamps — zero cotangent
         dstreams["odt"] = jnp.zeros_like(streams["odt"])
@@ -873,7 +961,7 @@ _fused_lstm.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
 
 def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
                     sel=None, tg=None, ode_layers=None, odt=None,
-                    ode_steps: int = 1):
+                    ode_steps: int = 1, tlstm=None, tel=None):
     """Drop-in LSTM recurrence from zero (h, c): xs [L, B, C] ->
     hs [L, B, H], matching lax.scan over LSTMCell exactly.
 
@@ -885,7 +973,11 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
                     i/f/o gates (differentiated).
     ode_layers / odt / ode_steps — ODE-LSTM: euler-evolve h AFTER the
                     cell by the in-kernel MLP over ode_steps substeps of
-                    the PER-SAMPLE dt stream odt [L, B]."""
+                    the PER-SAMPLE dt stream odt [L, B].
+    tlstm (W_d Linear) / tel [L, B] — TLSTM memory decomposition: the
+                    short-term component tanh(c @ W_d) is rescaled by the
+                    elapsed-time factor before (f,i,o,sigmoid-candidate)
+                    gates."""
     if stream_dtype is None:
         stream_dtype = (
             jnp.bfloat16
@@ -928,6 +1020,15 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
         streams["odt"] = jnp.broadcast_to(
             (odt / ode_steps).astype(stream_dtype)[:, :, None],
             (L, odt.shape[1], Hp))
+    kind = "lstm"
+    if tlstm is not None:
+        kind = "tlstm"
+        params["wd"] = _pad_to(_pad_to(tlstm.weight, Hp, 0), Hp, 1)
+        params["bd"] = _pad_to(tlstm.bias, Hp, 0)[None]
+        if reverse:
+            tel = jnp.flip(tel, axis=0)
+        streams["tel"] = jnp.broadcast_to(
+            tel.astype(stream_dtype)[:, :, None], (L, tel.shape[1], Hp))
     mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
     traj_bf16 = stream_dtype == jnp.bfloat16
     U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
@@ -942,6 +1043,6 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
     hs = _fused_lstm(params, streams, tuple(valid),
                      (Hp, mm_bf16, traj_bf16, sel is not None,
                       tg is not None, HHp, n_ode,
-                      ode_steps if n_ode else 0), U)
+                      ode_steps if n_ode else 0, kind), U)
     hs = hs[:L, :, :H].astype(jnp.float32)
     return jnp.flip(hs, axis=0) if reverse else hs

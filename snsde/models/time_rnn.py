@@ -174,17 +174,19 @@ class TGLSTMCell(Module):
 
 
 def _fused_time_lstm(cell, xs, ts, cell_kind: str):
-    """Route one PLSTM/TGLSTM layer through the fused LSTM kernel: both
-    cells are a torch-ordered LSTM plus a DATA-only time modulation —
-    PLSTM's phased openness k(t) becomes the kernel's sel stream (applied
-    to both carries), TGLSTM's sigmoid time-gates become the tg
-    gate-modifier stream. Grads to the time parameters ride the stream
-    precomputes. Returns hs [L, B, H] or None (scan fallback)."""
+    """Route one TLSTM/PLSTM/TGLSTM layer through the fused LSTM kernel:
+    each is an LSTM plus a DATA-only time modulation — PLSTM's phased
+    openness k(t) becomes the kernel's sel stream (applied to both
+    carries), TGLSTM's sigmoid time-gates the tg gate-modifier stream,
+    and TLSTM's memory decomposition the in-kernel c-adjustment with the
+    elapsed-time tel stream. Grads to the time parameters ride the
+    stream precomputes. Returns hs [L, B, H] or None (scan fallback)."""
     import types
 
     from .rnn import _fused_rnn_enabled
 
-    if not _fused_rnn_enabled() or cell_kind not in ("plstm", "tglstm"):
+    if not _fused_rnn_enabled() or cell_kind not in ("plstm", "tglstm",
+                                                     "tlstm"):
         return None
     from ..kernels.fused_em import is_batched
     from ..kernels.fused_rnn import fused_lstm_scan, supports_fused_lstm
@@ -193,6 +195,15 @@ def _fused_time_lstm(cell, xs, ts, cell_kind: str):
         return None
     H = cell.hidden_size
     L = xs.shape[0]
+    if cell_kind == "tlstm":
+        # W_all/U_all biases both add into the gates: fold U_all's into
+        # the hoisted gi, W_all's into the kernel's bhh
+        adapter = types.SimpleNamespace(
+            w_ih=cell.U_all.weight, w_hh=cell.W_all.weight,
+            b_ih=cell.U_all.bias, b_hh=cell.W_all.bias, hidden_size=H)
+        if not supports_fused_lstm(adapter):
+            return None
+        return fused_lstm_scan(adapter, xs, tlstm=cell.W_d, tel=ts)
     if cell_kind == "plstm":
         adapter = types.SimpleNamespace(
             w_ih=cell.W, w_hh=cell.U, b_ih=cell.bias,

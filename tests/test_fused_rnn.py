@@ -287,16 +287,16 @@ def test_grud_full_dispatch_parity(monkeypatch):
     assert compared >= 7   # w_ih/w_hh/b_ih/b_hh + gamma_x/gamma_h weights
 
 
-@pytest.mark.parametrize("kind", ["plstm", "tglstm"])
+@pytest.mark.parametrize("kind", ["plstm", "tglstm", "tlstm"])
 def test_time_lstm_dispatch_parity(kind, monkeypatch):
     """PLSTM (phased sel stream) / TGLSTM (gate-modifier stream) through
     the fused LSTM kernel == the scan cells, outputs AND gradients incl.
     the time parameters through the stream precomputes."""
-    from snsde.models.time_rnn import PLSTM, TGLSTM
+    from snsde.models.time_rnn import PLSTM, TGLSTM, TLSTM
 
     rng = np.random.default_rng(12)
     B, L, D, H = 5, 11, 3, 6
-    cls = {"plstm": PLSTM, "tglstm": TGLSTM}[kind]
+    cls = {"plstm": PLSTM, "tglstm": TGLSTM, "tlstm": TLSTM}[kind]
     model = cls.create(jax.random.PRNGKey(13), D, H, num_layers=2)
     x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
     ts = jnp.asarray(np.cumsum(rng.uniform(0.1, 1.0, (B, L)), axis=1),
