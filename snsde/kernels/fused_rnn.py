@@ -391,16 +391,6 @@ def _fused_gru_bwd(valid_tuple, cfg_key, unroll, res, ghs):
             pl.BlockSpec((1, 1, out_d), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-    if cfg.get("kind") == "tlstm":
-        out_names += ["dwd", "dbd"]
-        out_shapes += [jax.ShapeDtypeStruct((nb, Hp, Hp), jnp.float32),
-                       jax.ShapeDtypeStruct((nb, 1, Hp), jnp.float32)]
-        out_specs += [
-            pl.BlockSpec((1, Hp, Hp), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hp), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
     kernel = functools.partial(_bwd_kernel, cfg, U, in_names, out_names)
     outs = pl.pallas_call(
         kernel,
@@ -449,9 +439,11 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
     GRU-dt/GRU-D variants (models/rnn._ObservationGRUBase):
       obs  [L, B]  — keep the cell update only where 1 (masked steps
                      pass the (decayed) state through); data, no grad.
-      hdec [L, H]  — per-step hidden decay row applied BEFORE the cell
-                     (GRU-D's exp(-relu(decay(dt)))); its cotangent
-                     chains back to the decay net via XLA autodiff.
+      hdec — per-step hidden decay applied BEFORE the cell, either a
+                     time-only ROW [L, H] (GRU-D's exp(-relu(decay(dt))))
+                     or a PER-SAMPLE stream [L, B, H] (GRUD-full); the
+                     rank selects the mode, and the cotangent chains
+                     back to the decay net via XLA autodiff either way.
       ode_layers / tdif / ode_steps — ODE-RNN: euler-evolve the state
                      in-kernel by the MLP (tanh inners + linear out)
                      over ode_steps substeps of tdif[t]/ode_steps
@@ -813,7 +805,13 @@ def _lstm_cfg(cfg_key):
             "kind": cfg_key[8] if len(cfg_key) > 8 else "lstm"}
 
 
-def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll):
+def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll,
+                  save_cs=True):
+    """save_cs=False (the inference-only primal): the cell-state
+    trajectory blocks overwrite ONE [U, B, Hp] buffer instead of
+    streaming [M, B, Hp] to HBM — Pallas outputs cannot be DCE'd, so
+    this halves the forward's output bandwidth when no backward will
+    need the residual."""
     cfg = _lstm_cfg(cfg_key)
     valid = jnp.asarray(np.asarray(valid_tuple, np.float32))[:, None]
     M = valid.shape[0]
@@ -827,12 +825,21 @@ def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll):
     traj_dtype = jnp.bfloat16 if cfg["traj_bf16"] else jnp.float32
     out_spec = pl.BlockSpec((U, block_b, cfg["Hp"]), lambda b, k: (k, b, 0),
                             memory_space=pltpu.VMEM)
+    if save_cs:
+        cs_spec = out_spec
+        cs_shape = jax.ShapeDtypeStruct((M, B, cfg["Hp"]), traj_dtype)
+    else:
+        cs_spec = pl.BlockSpec((U, block_b, cfg["Hp"]),
+                               lambda b, k: (0, b, 0),
+                               memory_space=pltpu.VMEM)
+        cs_shape = jax.ShapeDtypeStruct((U, B, cfg["Hp"]), traj_dtype)
     hs, cs = pl.pallas_call(
         functools.partial(_lstm_fwd_kernel, cfg, U, names),
         grid=(nb, nk),
         in_specs=_lstm_specs(names, cfg, nk, block_b, U),
-        out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((M, B, cfg["Hp"]), traj_dtype)] * 2,
+        out_specs=[out_spec, cs_spec],
+        out_shape=[jax.ShapeDtypeStruct((M, B, cfg["Hp"]), traj_dtype),
+                   cs_shape],
         scratch_shapes=[pltpu.VMEM((block_b, cfg["Hp"]), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -845,8 +852,10 @@ def _lstm_forward(params, streams, valid_tuple, cfg_key, unroll):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _fused_lstm(params, streams, valid_tuple, cfg_key, unroll):
     # the cell-state trajectory is an internal residual for the backward,
-    # NOT a differentiable output — only hs is exposed
-    hs, _ = _lstm_forward(params, streams, valid_tuple, cfg_key, unroll)
+    # NOT a differentiable output — only hs is exposed (and the primal
+    # skips streaming it entirely)
+    hs, _ = _lstm_forward(params, streams, valid_tuple, cfg_key, unroll,
+                          save_cs=False)
     return hs
 
 

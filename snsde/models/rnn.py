@@ -37,6 +37,21 @@ def _fused_rnn_enabled():
             and os.environ.get("SNSDE_NO_FUSED", "0") != "1")
 
 
+def last_observation_excl(observed, idx_dtype=None):
+    """Exclusive last-observation index along axis 0: out[t] = max index
+    s < t with observed[s] (or -1). The data-only closed form (running
+    max over masked indices) that lets observation recurrences hoist out
+    of the fused kernels — shared by the GRU-dt/GRU-D dt_acc and
+    GRUD-full forward-fill precomputes."""
+    L = observed.shape[0]
+    shape = (L,) + (1,) * (observed.ndim - 1)
+    idx = jnp.arange(L).reshape(shape)
+    marker = jnp.where(observed, idx, -1)
+    last_incl = jax.lax.associative_scan(jnp.maximum, marker, axis=0)
+    return jnp.concatenate(
+        [jnp.full_like(marker[:1], -1), last_incl[:-1]], axis=0)
+
+
 def _values_from_spline(times, coeffs):
     """Evaluate the control spline on the grid -> [B, L, C] (the reference
     evaluates the interpolant at every knot, other.py:50-51)."""
@@ -83,11 +98,7 @@ class _ObservationGRUBase(Module):
         delta = xs[:, :, 0]                              # [L, B]
         # dt_acc before step t = sum of deltas since the last observation
         pcs = jnp.cumsum(delta, axis=0) - delta          # exclusive prefix
-        idx = jnp.arange(xs.shape[0])[:, None]
-        marker = jnp.where(observed, idx, -1)
-        last_incl = jax.lax.associative_scan(jnp.maximum, marker, axis=0)
-        last_excl = jnp.concatenate(
-            [jnp.full_like(marker[:1], -1), last_incl[:-1]], axis=0)
+        last_excl = last_observation_excl(observed)
         # dt_acc_t = pcs[t] - pcs[last+1]  (pcs[s+1] = sum of deltas up to
         # and INCLUDING the last observed step s; last+1 <= L-1 always
         # since last < t <= L-1, and last = -1 indexes pcs[0] = 0)

@@ -233,8 +233,11 @@ def _stack_scan(cells, xs, ts, cell_kind: str):
         hs_fused = _fused_time_lstm(cell, out, ts, cell_kind)
         if hs_fused is not None:
             out = hs_fused
-            # the registry discards per-layer final (h, c); the fused
-            # path exposes the final h only
+            # CONTRACT NOTE: on the fused TPU route the per-layer final
+            # CELL state is None (the kernel exposes only h; every
+            # in-repo consumer discards finals). A consumer needing c
+            # should run with SNSDE_NO_FUSED=1 — the None fails loudly
+            # rather than returning a silently non-differentiable value.
             finals.append((hs_fused[-1], None))
             continue
 
@@ -406,16 +409,13 @@ class GRUDFull(Module):
         if not supports_fused_gru(self) or is_batched(self, x, mask,
                                                       delta):
             return None
+        from .rnn import last_observation_excl
+
         xs = jnp.moveaxis(x, 1, 0)                   # [L, B, D]
         ms = jnp.moveaxis(mask, 1, 0)
         ds = jnp.moveaxis(delta, 1, 0)
-        L = xs.shape[0]
         # x_last BEFORE step t = value at the last observed step < t
-        idx = jnp.arange(L)[:, None, None]
-        marker = jnp.where(ms > 0.5, idx, -1)
-        last_incl = jax.lax.associative_scan(jnp.maximum, marker, axis=0)
-        last_excl = jnp.concatenate(
-            [jnp.full_like(marker[:1], -1), last_incl[:-1]], axis=0)
+        last_excl = last_observation_excl(ms > 0.5)
         gathered = jnp.take_along_axis(xs, jnp.maximum(last_excl, 0),
                                        axis=0)
         x_last = jnp.where(last_excl >= 0, gathered, 0.0)

@@ -6,7 +6,12 @@ set -u
 cd /root/repo
 LOG=/tmp/tpu_recovery/stage2.log
 echo "$(date) waiting for stage-2 to finish..."
-until grep -q "STAGE2" "$LOG" 2>/dev/null; do sleep 120; done
+until grep -q "STAGE2 DONE\|STAGE2 FAILED" "$LOG" 2>/dev/null; do sleep 120; done
+if grep -q "STAGE2 FAILED" "$LOG"; then
+    echo "$(date) stage-2 FAILED — skipping the interpolation A/B"
+    echo "$(date) STAGE3 SKIPPED"
+    exit 0
+fi
 echo "$(date) stage-2 done — interpolation decoder A/B (30 iters)"
 run() {
     PYTHONPATH=/root/repo:${PYTHONPATH:-} python \
