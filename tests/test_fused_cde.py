@@ -438,3 +438,21 @@ def test_ancde_dispatch_parity(monkeypatch):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_fused_cde_exact_tile_widths():
+    """H*C an exact 128 multiple (no CHp padding) and H=128 state."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    rng = np.random.default_rng(21)
+    B, L, C, H = 4, 4, 4, 32          # H*C = 128 exactly
+    times = np.linspace(0.0, 1.0, L).astype(np.float32)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(x))
+    path = CubicPath(coeffs, times)
+    func = FinalTanh.create(jax.random.PRNGKey(22), C, H, 16, 1)
+    z0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=0.3, method="rk4")
+    zs_scan = cdeint(path, func, z0, times, dt=0.3, method="rk4")
+    np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
+                               atol=3e-5)

@@ -356,3 +356,18 @@ def test_odelstm_dispatch_parity(monkeypatch):
                                    rtol=5e-4, atol=5e-6)
         compared += 1
     assert compared >= 6   # lstm weights + f1/f2
+
+
+@pytest.mark.parametrize("H", [128, 5])
+def test_fused_gru_edge_shapes(H):
+    """Exact-tile hidden width (no padding) and L=1 sequences."""
+    from snsde.kernels.fused_rnn import fused_gru_scan
+
+    rng = np.random.default_rng(20)
+    cell = GRUCell.create(jax.random.PRNGKey(21), 3, H)
+    for L in (1, 4):
+        xs = jnp.asarray(rng.normal(size=(L, 4, 3)), jnp.float32)
+        hs_fused = fused_gru_scan(cell, xs)
+        hs_scan = _scan_gru(cell, xs)
+        np.testing.assert_allclose(np.asarray(hs_fused),
+                                   np.asarray(hs_scan), atol=3e-6)
