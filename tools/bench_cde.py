@@ -45,11 +45,11 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
     y = jnp.asarray((rng.random(B) < 0.3).astype(np.float32))
     final_index = jnp.full((B,), L - 1, jnp.int32)
 
-    if field == "gru":
+    if field in ("gru", "lstm"):
         from snsde.models.rnn import SeqRNN
 
         model = SeqRNN.create(jax.random.fold_in(key, 1), C, H, 1,
-                              kind="gru")
+                              kind=field)
         # the raw value stream rides the coeffs jit-arg slot — device data
         # must be jit ARGS, never closures (CLAUDE.md HTTP-413 lesson)
         coeffs = jnp.asarray(Xa)
@@ -120,6 +120,7 @@ CONFIGS = {
     "latent_em": dict(method="euler", B=1024, L=72, C=6, H=32,
                       field="latent"),
     "gru": dict(method="euler", B=1024, L=72, C=6, H=32, field="gru"),
+    "lstm": dict(method="euler", B=1024, L=72, C=6, H=32, field="lstm"),
 }
 
 
