@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import Module, module, static_field
-from ..nn.layers import GRUCell, Linear, LSTMCell
+from ..nn.layers import GRUCell, Linear, LSTMCell, RNNCell
 from ..ops.interp import CubicPath
 
 __all__ = ["GRUdt", "GRUD", "ODERNN", "SeqRNN", "SeqTransformer", "SeqCNN"]
@@ -305,37 +305,64 @@ class ODERNN(_ObservationGRUBase):
 
 @module
 class SeqRNN(Module):
-    """Vanilla RNN/GRU/LSTM (+ optional bidirectional) over a value stream;
-    returns (per-step readout, stream)."""
+    """Stacked RNN/GRU/LSTM (+ optional bidirectional) over a value
+    stream; returns (per-step readout, stream).
 
-    cell: Module
-    cell_bwd: Optional[Module]
+    Matches torch nn.RNN/LSTM/GRU constructor semantics (reference
+    torch-ists _layer.py:135-146): `rnn` is a tanh Elman cell (NOT a
+    GRU), `num_layers` stacks cells with inter-layer dropout (applied to
+    every layer's output except the last, train-time only — torch
+    ignores dropout when num_layers == 1), and bidirectional layers run
+    `hidden_per_dir` wide per direction with their outputs concatenated
+    before the next layer (the reference's `bilstm` passes
+    int(hidden/2), _layer.py:152-153)."""
+
+    cells: Tuple[Module, ...]
+    cells_bwd: Optional[Tuple[Module, ...]]
     embed: Linear
     linear: Linear
     kind: str = static_field(default="gru")
+    dropout: float = static_field(default=0.0)
+
+    # round-2 call sites (mtan._bigru helpers, tests) used single-cell
+    # attribute names; keep them as views of layer 0
+    @property
+    def cell(self):
+        return self.cells[0]
+
+    @property
+    def cell_bwd(self):
+        return self.cells_bwd[0] if self.cells_bwd else None
 
     @staticmethod
     def create(key, input_channels, hidden_channels, output_channels,
                kind: str = "gru", bidirectional: bool = False,
-               dtype=jnp.float32):
+               num_layers: int = 1, dropout: float = 0.0,
+               hidden_per_dir: Optional[int] = None, dtype=jnp.float32):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         mk = {"gru": GRUCell.create, "lstm": LSTMCell.create,
-              "rnn": GRUCell.create}[kind]
-        cell = mk(k1, hidden_channels, hidden_channels, dtype)
-        cell_bwd = (
-            mk(k4, hidden_channels, hidden_channels, dtype)
-            if bidirectional
-            else None
-        )
-        out_mult = 2 if bidirectional else 1
+              "rnn": RNNCell.create}[kind]
+        Hd = hidden_per_dir or hidden_channels
+        ndir = 2 if bidirectional else 1
+        # layer 0 consumes the embedded stream (width hidden_channels);
+        # deeper layers consume the previous layer's ndir * Hd outputs
+        fwd_keys = jax.random.split(k1, num_layers)
+        bwd_keys = jax.random.split(k4, num_layers)
+        cells, cells_bwd = [], []
+        for li in range(num_layers):
+            in_w = hidden_channels if li == 0 else ndir * Hd
+            cells.append(mk(fwd_keys[li], in_w, Hd, dtype))
+            if bidirectional:
+                cells_bwd.append(mk(bwd_keys[li], in_w, Hd, dtype))
         return SeqRNN(
-            cell=cell,
-            cell_bwd=cell_bwd,
+            cells=tuple(cells),
+            cells_bwd=tuple(cells_bwd) if bidirectional else None,
             embed=Linear.create(k2, input_channels, hidden_channels,
                                 dtype=dtype),
-            linear=Linear.create(k3, hidden_channels * out_mult,
-                                 output_channels, dtype=dtype),
+            linear=Linear.create(k3, ndir * Hd, output_channels,
+                                 dtype=dtype),
             kind=kind,
+            dropout=dropout,
         )
 
     def _run(self, cell, xs, B, H, reverse=False):
@@ -352,7 +379,7 @@ class SeqRNN(Module):
             def step(carry, x):
                 h, carry = cell(x, carry)
                 return carry, h
-        else:
+        elif isinstance(cell, GRUCell):
             if _fused_rnn_enabled():
                 from ..kernels.fused_em import is_batched
                 from ..kernels.fused_rnn import (fused_gru_scan,
@@ -360,6 +387,12 @@ class SeqRNN(Module):
 
                 if supports_fused_gru(cell) and not is_batched(cell, xs):
                     return fused_gru_scan(cell, xs, reverse=reverse)
+            init = jnp.zeros((B, H))
+
+            def step(h, x):
+                h2 = cell(x, h)
+                return h2, h2
+        else:                            # tanh Elman cell
             init = jnp.zeros((B, H))
 
             def step(h, x):
@@ -373,12 +406,22 @@ class SeqRNN(Module):
         """x: [B, L, D] value stream -> (out [B, L, out], stream)."""
         e = self.embed(x)
         xs = jnp.moveaxis(e, 1, 0)
-        B, H = e.shape[0], self.cell.hidden_size if hasattr(
-            self.cell, "hidden_size") else self.embed.out_features
-        hs = self._run(self.cell, xs, B, H)
-        if self.cell_bwd is not None:
-            hs_b = self._run(self.cell_bwd, xs, B, H, reverse=True)
-            hs = jnp.concatenate([hs, hs_b], axis=-1)
+        B = e.shape[0]
+        n_layers = len(self.cells)
+        for li in range(n_layers):
+            cell = self.cells[li]
+            H = cell.hidden_size
+            hs = self._run(cell, xs, B, H)
+            if self.cells_bwd is not None:
+                hs_b = self._run(self.cells_bwd[li], xs, B, H, reverse=True)
+                hs = jnp.concatenate([hs, hs_b], axis=-1)
+            if (li < n_layers - 1 and self.dropout > 0.0 and train
+                    and key is not None):
+                keep = 1.0 - self.dropout
+                mask = jax.random.bernoulli(
+                    jax.random.fold_in(key, li), keep, hs.shape)
+                hs = jnp.where(mask, hs / keep, 0.0)
+            xs = hs
         stream = jnp.moveaxis(hs, 0, 1)
         return self.linear(stream), stream
 

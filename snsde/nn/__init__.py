@@ -16,6 +16,7 @@ from .layers import (
     BatchNorm,
     Dropout,
     GRUCell,
+    RNNCell,
     Linear,
     LSTMCell,
     init_linear,

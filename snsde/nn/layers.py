@@ -20,6 +20,7 @@ __all__ = [
     "BatchNorm",
     "Dropout",
     "GRUCell",
+    "RNNCell",
     "LSTMCell",
     "lipswish",
     "init_linear",
@@ -180,6 +181,38 @@ class Dropout(Module):
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(key, keep, x.shape)
         return jnp.where(mask, x / keep, 0.0)
+
+
+@module
+class RNNCell(Module):
+    """Vanilla tanh Elman cell, torch nn.RNN parameterization:
+    h' = tanh(x @ w_ih + b_ih + h @ w_hh + b_hh). The reference's `rnn`
+    baseline is exactly this (torch-ists _layer.py:135-137)."""
+
+    w_ih: jnp.ndarray  # [in, H]
+    w_hh: jnp.ndarray  # [H, H]
+    b_ih: jnp.ndarray
+    b_hh: jnp.ndarray
+
+    @staticmethod
+    def create(key, input_size: int, hidden_size: int, dtype=jnp.float32):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k = 1.0 / jnp.sqrt(hidden_size)
+        u = lambda kk, shape: jax.random.uniform(kk, shape, dtype, -k, k)
+        return RNNCell(
+            w_ih=u(k1, (input_size, hidden_size)),
+            w_hh=u(k2, (hidden_size, hidden_size)),
+            b_ih=u(k3, (hidden_size,)),
+            b_hh=u(k4, (hidden_size,)),
+        )
+
+    @property
+    def hidden_size(self):
+        return self.w_hh.shape[0]
+
+    def __call__(self, x, h):
+        return jnp.tanh(x @ self.w_ih + self.b_ih + h @ self.w_hh
+                        + self.b_hh)
 
 
 @module

@@ -288,7 +288,8 @@ def make_seq_layer(key, model_name: str, input_dim: int, seq_len: int,
                    hidden_dim: int, hidden_hidden_dim: Optional[int] = None,
                    num_layers: int = 1, num_hidden_layers: int = 1,
                    use_intensity: bool = False,
-                   method: Optional[str] = None) -> SeqLayer:
+                   method: Optional[str] = None,
+                   dropout: float = 0.1) -> SeqLayer:
     """Build a SeqLayer for any registry name. coeff channels = 1 + D
     (time ‖ values), matching the preprocessing in data.common."""
     if model_name not in MODEL_NAMES:
@@ -303,16 +304,20 @@ def make_seq_layer(key, model_name: str, input_dim: int, seq_len: int,
         ksize = int(name.split("-")[1]) if "-" in name else 3
         inner = SeqCNN.create(k1, input_dim, hidden_dim, hidden_dim,
                               kernel_size=ksize, depth=max(num_layers, 1))
-    elif name in ("rnn", "gru"):
-        inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, "gru")
-    elif name == "lstm":
-        inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, "lstm")
+    elif name in ("rnn", "gru", "lstm"):
+        # reference _layer.py:135-146: nn.RNN (tanh Elman) / nn.LSTM /
+        # nn.GRU with num_layers stacking + inter-layer dropout
+        inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, name,
+                              num_layers=num_layers, dropout=dropout)
     elif name == "bilstm":
+        # reference _layer.py:152-153: hidden/2 per direction
         inner = SeqRNN.create(k1, input_dim, hidden_dim, hidden_dim, "lstm",
-                              bidirectional=True)
+                              bidirectional=True, num_layers=num_layers,
+                              dropout=dropout,
+                              hidden_per_dir=max(hidden_dim // 2, 1))
     elif name == "gru-simple":
         inner = SeqRNN.create(k1, 3 * input_dim, hidden_dim, hidden_dim,
-                              "gru")
+                              "gru", num_layers=num_layers, dropout=dropout)
     elif name == "grud":
         inner = GRUDFull.create(k1, input_dim, hidden_dim)
     elif name == "tlstm":
