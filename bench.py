@@ -41,6 +41,9 @@ HIDDEN = 49
 LAYERS = 2
 WARMUP = 5
 ITERS = 50
+# repeat-run statistics (VERDICT r3 weak #5: single runs drift 3-12%
+# run-to-run; every conclusion must come from a median over repeats)
+REPEATS = int(os.environ.get("SNSDE_BENCH_REPEATS", "7"))
 # Headline is the flagship LNSDE; SNSDE_BENCH_MODEL switches to any other
 # grid name (e.g. neuralsde_3_18, naivesde) for named-baseline lines, and
 # SNSDE_BENCH_METHOD to another solver (srk = torch-ists default).
@@ -125,17 +128,24 @@ def main():
     _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
     losses.block_until_ready()
 
-    t0 = time.perf_counter()
-    model, opt_state, losses = train_loop(model, opt_state, coeffs, y, kws)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+    # timed repeats of the full 50-step loop: the per-run median absorbs
+    # the measured 3-12% run-to-run drift on the remote runtime
+    dts = []
+    for _ in range(max(REPEATS, 1)):
+        t0 = time.perf_counter()
+        model, opt_state, losses = train_loop(model, opt_state, coeffs, y,
+                                              kws)
+        losses.block_until_ready()
+        dts.append(time.perf_counter() - t0)
 
     assert bool(jnp.isfinite(losses).all()), "non-finite loss in bench loop"
     assert float(losses[-1]) < float(losses[0]), \
         "loss did not decrease over the bench loop"
-    train_steps_per_sec = ITERS / dt
     solver_steps = LENGTH - 1  # dt = min Δt = 1 on the hourly grid
-    em_steps_per_sec = train_steps_per_sec * solver_steps * BATCH
+    rates = np.array([ITERS * solver_steps * BATCH / d for d in dts])
+    em_steps_per_sec = float(np.median(rates))
+    q1, q3 = (float(np.percentile(rates, 25)),
+              float(np.percentile(rates, 75)))
 
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "BENCH_BASELINE.json")
@@ -173,6 +183,8 @@ def main():
                 "unit": "solver_steps*samples/sec",
                 "vs_baseline": (round(vs_baseline, 3)
                                 if vs_baseline is not None else None),
+                "repeats": len(dts),
+                "iqr": [round(q1, 1), round(q3, 1)],
             }
         )
     )

@@ -526,11 +526,17 @@ def _fused_cde_backward(params, dx, dts, z0, ys, gys, *, cfg, block_b,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-def _pick_cde_block(B, cfg):
+def _pick_cde_block(B, cfg, bwd=False):
     # budget rows so block * CHp (the wide per-stage intermediates, which
     # are what scale) stays within the EM kernel's measured VMEM envelope:
-    # block * CHp <= 256 * 1152 f32 elements (~1.2 MB per live array)
-    return _pick_block(B, cfg["CHp"], cap_rows=(256 * 1152) // LANE)
+    # block * CHp <= 256 * 1152 f32 elements (~1.2 MB per live array).
+    # The BACKWARD streams gys + ddx on top of the forward's block set and
+    # keeps the recomputed per-stage wide intermediates live alongside the
+    # weight-grad accumulators — at the bench shape (B=1024, CHp=256) the
+    # forward's block overflowed scoped VMEM there (21.76M > 16M, round-3
+    # recovery stage2.log), so the backward budgets half the rows.
+    cap = (256 * 1152) // LANE
+    return _pick_block(B, cfg["CHp"], cap_rows=cap // 2 if bwd else cap)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -554,7 +560,8 @@ def _fused_cde_bwd(dts_tuple, cfg_key, unroll, res, gys_full):
     dparams, ddx, dz0 = _fused_cde_backward(
         params, dx, dts, z0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        cfg=cfg, block_b=_pick_cde_block(z0.shape[0], cfg), unroll=unroll,
+        cfg=cfg, block_b=_pick_cde_block(z0.shape[0], cfg, bwd=True),
+        unroll=unroll,
     )
     return dparams, ddx.astype(dx.dtype), dz0
 

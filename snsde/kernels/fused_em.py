@@ -65,14 +65,23 @@ def _interpret():
 
 
 def _dot(x, w, mm_bf16: bool):
-    """MXU matmul with f32 accumulation. mm_bf16 casts the operands to
-    bfloat16 first: the MXU runs bf16 inputs ~4x faster than f32, and the
-    roofline (tools/roofline.py) shows the fused step is compute-bound at
-    the f32 matmul rate. Accumulation stays f32 either way."""
+    """MXU matmul with f32 accumulation.
+
+    The f32 path pins precision=HIGHEST: inside Mosaic the DEFAULT dot
+    precision rounds f32 operands to bf16 on the MXU (measured on v5e:
+    1.3e-1 max abs error on a 128-term N(0,1) dot vs exact f32 — the
+    round-4 root cause of every compiled-kernel parity failure; interpret
+    mode computes exact f32, which is why the CPU suite stayed green).
+    HIGHEST is exact f32 on chip.
+
+    mm_bf16 casts the operands to bfloat16 explicitly (SNSDE_FUSED_MATMUL
+    =bf16 A/B knob); accumulation stays f32 either way."""
     if mm_bf16:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _pdot(a, b):
@@ -145,7 +154,7 @@ _MULT_Y_NO = {3, 6, 11, 13, 15, 17, 19}
 def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
             h_true: int = 0, traj_bf16: bool = False, merged: bool = False,
             coalesce: bool = False, srk: bool = False,
-            latent: bool = False, lat_hm: int = 0):
+            latent: bool = False, lat_hm: int = 0, hoist: bool = True):
     drift = _DRIFT_BY_IO[io]
     if merged and drift == "emb":
         # SNSDE_FUSED_MERGE: wy@we1 folded into one effective drift-input
@@ -204,6 +213,12 @@ def _config(io: int, no: int, mm_bf16: bool = False, rng: bool = False,
         "latent": latent,
         "lat_hm": lat_hm if lat_hm else h_true,
         "mm_bf16": mm_bf16,
+        # SNSDE_FUSED_HOIST=0 restores the in-kernel xh@we2 matmul (A/B
+        # knob: the hoisted precompute rounds differently than the Mosaic
+        # in-kernel f32 dot, and the SDE dynamics amplify the ~1e-7/step
+        # difference over long solves — see tests/test_fused_kernel.py's
+        # stepwise-parity design and RESULTS.md round-4)
+        "hoist": hoist,
         # in-kernel Brownian sampling (hardware PRNG + Box–Muller): drops
         # the [M,B,H] dW HBM stream; h_true = unpadded hidden width so
         # padded lanes stay identically zero
@@ -234,7 +249,7 @@ def _fwd_input_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["wy", "a"]
     if cfg["drift"] == "emb":
-        names += ["we1", "be"]
+        names += (["we1", "be"] if cfg["hoist"] else ["we1", "we2", "be"])
     names += [f"w_inner{i}" for i in range(n_inner)]
     names += [f"b_inner{i}" for i in range(n_inner)]
     names += ["wout", "bo", "theta"]
@@ -279,11 +294,16 @@ def _drift_forward(cfg, n_inner, r, y, save=False):
     else:
         yy = _dot(y, r["wy"][:], mm) + \
             r["a"]
-        # xh @ we2 is y-independent, so it is HOISTED out of the kernel's
-        # sequential step loop: the 'xh' stream already carries xh @ we2,
-        # computed by the solve as one large MXU-efficient matmul (same
-        # summation order as the former in-kernel version)
-        z1 = _dot(yy, r["we1"][:], mm) + xh_blk + r["be"][:]
+        if cfg["hoist"]:
+            # xh @ we2 is y-independent, so it is HOISTED out of the
+            # kernel's sequential step loop: the 'xh' stream already
+            # carries xh @ we2, computed by the solve as one large
+            # MXU-efficient matmul (same summation order; the XLA
+            # precompute rounds ~1e-7 differently than the Mosaic dot)
+            z1 = _dot(yy, r["we1"][:], mm) + xh_blk + r["be"][:]
+        else:
+            z1 = (_dot(yy, r["we1"][:], mm)
+                  + _dot(xh_blk, r["we2"][:], mm) + r["be"][:])
     h = jnp.maximum(z1, 0.0)
     h_list = [h]
     z_list = []
@@ -462,10 +482,14 @@ def _drift_bwd(cfg, n_inner, r, y, aux, df, o):
     else:                            # emb
         o["dbe"][0] += jnp.sum(dz1, axis=0, keepdims=True)
         dyy = _dot(dz1, r["we1"][:].T, mm)
-        # the hoisted xh@we2 stream's cotangent is dz1 itself; dwe2 and
-        # the chain to the control path come from XLA autodiff of the
-        # stream precompute, outside the custom_vjp
-        extras["dxh"] = dz1
+        if cfg["hoist"]:
+            # the hoisted xh@we2 stream's cotangent is dz1 itself; dwe2
+            # and the chain to the control path come from XLA autodiff of
+            # the stream precompute, outside the custom_vjp
+            extras["dxh"] = dz1
+        else:
+            extras["dxh"] = _dot(dz1, r["we2"][:].T, mm)
+            o["dwe2"][0] += _dot(xh_blk.T, dz1, mm)
         o["dwe1"][0] += _dot(yy.T, dz1, mm)
         o["dwy"][0] += _dot(y.T, dyy, mm)
         extras["da"] = jnp.sum(dyy, axis=0, keepdims=True)
@@ -660,7 +684,8 @@ def _bwd_output_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["dwy", "da"]
     if cfg["drift"] == "emb":
-        names += ["dwe1", "dbe"]
+        names += (["dwe1", "dbe"] if cfg["hoist"]
+                  else ["dwe1", "dwe2", "dbe"])
     names += [f"dw_inner{i}" for i in range(n_inner)]
     names += [f"db_inner{i}" for i in range(n_inner)]
     names += ["dwout", "dbo", "dtheta"]
@@ -853,6 +878,8 @@ def _fused_em_backward(params, streams, dw, dts, y0, ys, gys, *, cfg,
         dparams["wy"] = jnp.sum(out["dwy"], axis=0)
     if cfg["drift"] == "emb":
         dparams["we1"] = jnp.sum(out["dwe1"], axis=0)
+        if not cfg["hoist"]:
+            dparams["we2"] = jnp.sum(out["dwe2"], axis=0)
         dparams["be"] = jnp.sum(out["dbe"], axis=0)
     dparams["w_inner"] = tuple(
         jnp.sum(out[f"dw_inner{i}"], axis=0) for i in range(n_inner)
@@ -908,7 +935,7 @@ def _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
     dts = jnp.asarray(np.asarray(dts_tuple, np.float32))[:, None]
     return _fused_em_forward(params, streams, dw, dts, y0, cfg=cfg,
                              n_inner=n_inner,
-                             block_b=_pick_block(*y0.shape),
+                             block_b=_pick_block_cfg(cfg, *y0.shape),
                              unroll=unroll)
 
 
@@ -946,6 +973,14 @@ def _pick_block(B, Hp=LANE, cap_rows=1024):
     return best or B
 
 
+def _pick_block_cfg(cfg, B, Hp=LANE):
+    # in-kernel RNG keeps (U/2+1) [block, Hp] random-bit planes x2 plus
+    # the Box-Muller f32 intermediates live on the kernel stack; 1024-row
+    # blocks overflow the 16M scoped-VMEM budget there (measured: 16.82M
+    # at the round-3 retuned default), so RNG mode caps at 512 rows
+    return _pick_block(B, Hp, cap_rows=512 if cfg["rng"] else 1024)
+
+
 def _fused_em_fwd(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
                   unroll):
     ys = _fused_em(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
@@ -960,7 +995,7 @@ def _fused_em_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
     dparams, dstreams, dy0 = _fused_em_backward(
         params, streams, dw, dts, y0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        cfg=cfg, n_inner=n_inner, block_b=_pick_block(*y0.shape),
+        cfg=cfg, n_inner=n_inner, block_b=_pick_block_cfg(cfg, *y0.shape),
         unroll=unroll,
     )
     # zero cotangents for any stream the kernel does not differentiate
@@ -1092,7 +1127,11 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # form (same law); off by default pending a measured TPU win.
     merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
     coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
-    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16, merged, coalesce)
+    # SNSDE_FUSED_HOIST=0: keep xh@we2 in-kernel (A/B knob; the hoist
+    # won +6% on v5e — 47.0M vs 44.2M — and is the default)
+    hoist = os.environ.get("SNSDE_FUSED_HOIST", "1") != "0"
+    cfg_key = (io, no, mm_bf16, rng_mode, H, traj_bf16, merged, coalesce,
+               False, False, 0, hoist)
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
@@ -1142,7 +1181,8 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
             Xg = path.evaluate_grid(grid[:-1])           # [M, B, C]
             Xh = _pdot(Xg, field.initial_network.weight) \
                 + field.initial_network.bias
-        if cfg["drift"] in ("emb", "embm"):
+        if cfg["drift"] == "embm" or (cfg["drift"] == "emb"
+                                      and cfg["hoist"]):
             # HOIST: xh @ we2 is y-independent, so it leaves the kernel's
             # sequential step loop and runs here as ONE [M*B, H] matmul at
             # full MXU efficiency; dwe2 and the control-path chain come
@@ -1169,6 +1209,9 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         streams["a"] = _pad_to(a, Hp, 1)[:, None, :]
     if cfg["drift"] == "emb":
         params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)
+        if not cfg["hoist"]:
+            params["we2"] = _pad_to(
+                _pad_to(field.emb.weight[H:], Hp, 0), Hp, 1)
         params["be"] = _pad_to(field.emb.bias, Hp, 0)[None]
 
     params["w_inner"] = tuple(
@@ -1208,7 +1251,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         # in-kernel per-step cast of [128,128] weights costs more VPU time
         # than the MXU saves (measured). Biases/theta stay f32 (added
         # after f32 accumulation); _dot's astype on bf16 input is elided.
-        for k_ in ("wy", "we1", "wout", "wn1", "wn2"):
+        for k_ in ("wy", "we1", "we2", "wout", "wn1", "wn2"):
             if k_ in params:
                 params[k_] = params[k_].astype(jnp.bfloat16)
         params["w_inner"] = tuple(

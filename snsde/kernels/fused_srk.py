@@ -75,7 +75,7 @@ def _srk_input_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["wy", "a0", "a1"]
     if cfg["drift"] == "emb":
-        names += ["we1", "be"]
+        names += (["we1", "be"] if cfg["hoist"] else ["we1", "we2", "be"])
     names += [f"w_inner{i}" for i in range(n_inner)]
     names += [f"b_inner{i}" for i in range(n_inner)]
     names += ["wout", "bo", "theta"]
@@ -99,7 +99,8 @@ def _srk_bwd_output_names(cfg, n_inner):
     if cfg["drift"] != "xt":
         names += ["dwy", "da0", "da1"]
     if cfg["drift"] == "emb":
-        names += ["dwe1", "dbe"]
+        names += (["dwe1", "dbe"] if cfg["hoist"]
+                  else ["dwe1", "dwe2", "dbe"])
     names += [f"dw_inner{i}" for i in range(n_inner)]
     names += [f"db_inner{i}" for i in range(n_inner)]
     names += ["dwout", "dbo", "dtheta"]
@@ -544,6 +545,8 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
         dparams["wy"] = jnp.sum(out["dwy"], axis=0)
     if cfg["drift"] == "emb":
         dparams["we1"] = jnp.sum(out["dwe1"], axis=0)
+        if not cfg["hoist"]:
+            dparams["we2"] = jnp.sum(out["dwe2"], axis=0)
         dparams["be"] = jnp.sum(out["dbe"], axis=0)
     dparams["w_inner"] = tuple(
         jnp.sum(out[f"dw_inner{i}"], axis=0) for i in range(n_inner)
@@ -694,8 +697,9 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     traj_bf16 = stream_dtype == jnp.bfloat16
     merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
     coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
+    hoist = os.environ.get("SNSDE_FUSED_HOIST", "1") != "0"
     cfg_key = (io, no, mm_bf16, False, H, traj_bf16, merged, coalesce,
-               True)
+               True, False, 0, hoist)
     cfg = _config(*cfg_key)
     time_emb = io in (3, 4, 5, 6)
 
@@ -739,7 +743,8 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
                 Xg = path.evaluate_grid(tv)              # [M, B, C]
                 Xh = (_pdot(Xg, field.initial_network.weight)
                       + field.initial_network.bias)
-            if cfg["drift"] in ("emb", "embm"):
+            if cfg["drift"] == "embm" or (cfg["drift"] == "emb"
+                                          and cfg["hoist"]):
                 # HOIST (see fused_em_solve): the y-independent xh @ we2
                 # leaves the kernel's step loop; dwe2 via XLA autodiff
                 Xh = _pdot(Xh, field.emb.weight[H:])
@@ -769,6 +774,9 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
             streams[f"a{i}"] = _pad_to(a, Hp, 1)[:, None, :]
     if cfg["drift"] == "emb":
         params["we1"] = _pad_to(_pad_to(field.emb.weight[:H], Hp, 0), Hp, 1)
+        if not cfg["hoist"]:
+            params["we2"] = _pad_to(
+                _pad_to(field.emb.weight[H:], Hp, 0), Hp, 1)
         params["be"] = _pad_to(field.emb.bias, Hp, 0)[None]
 
     params["w_inner"] = tuple(

@@ -41,15 +41,24 @@ def test_fused_matches_scan(io, no):
     kw, _ = jax.random.split(kb)
     dW = brownian_increments(kw, grid, (B, H))
     bm = BrownianGrid(grid=jnp.asarray(grid), dW=dW, U=None)
-    ys_ref = sdeint(field.f, field.g, y0, times, bm=bm, method="euler")
+    # the scan side must run exact-f32 matmuls: XLA's TPU DEFAULT rounds
+    # f32 dot operands to bf16 (measured 1.3e-1 max error on a 128-term
+    # N(0,1) dot), which injects ~3e-3/step vs the kernel's pinned-HIGHEST
+    # dots and the SDE amplifies it past any sane tolerance (round-4
+    # triage, tools/triage_parity.py)
+    with jax.default_matmul_precision("highest"):
+        ys_ref = sdeint(field.f, field.g, y0, times, bm=bm, method="euler")
     ys_fused = fused_em_solve(field, path, times, y0, kb)
+    # measured full-solve divergence on v5e: <= 7e-5 (triage growth curve)
     np.testing.assert_allclose(
-        np.asarray(ys_ref), np.asarray(ys_fused), atol=5e-3
+        np.asarray(ys_ref), np.asarray(ys_fused), atol=1e-3
     )
     # cross-path reproducibility: same seed, no injected bm
-    ys_keyed = sdeint(field.f, field.g, y0, times, key=kb, method="euler")
+    with jax.default_matmul_precision("highest"):
+        ys_keyed = sdeint(field.f, field.g, y0, times, key=kb,
+                          method="euler")
     np.testing.assert_allclose(
-        np.asarray(ys_keyed), np.asarray(ys_fused), atol=5e-3
+        np.asarray(ys_keyed), np.asarray(ys_fused), atol=1e-3
     )
 
 
@@ -81,7 +90,8 @@ def test_fused_gradients_match_scan():
 
     def loss_scan(f):
         fb = f.bind(path)
-        ys = sdeint(fb.f, fb.g, y0, times, bm=bm, method="euler")
+        with jax.default_matmul_precision("highest"):
+            ys = sdeint(fb.f, fb.g, y0, times, bm=bm, method="euler")
         return jnp.mean(ys**2)
 
     def loss_fused(f):
@@ -197,10 +207,9 @@ def test_in_kernel_rng_mode(monkeypatch):
 def test_fused_srk_matches_scan_tpu():
     """Compiled (Mosaic) fused SRK vs scan SRK on shared (dW, I10).
 
-    Runs the scan side at f32-faithful matmul precision: the kernel's
-    precomputes are f32-faithful (fused_em._pdot), while XLA's TPU
-    default rounds matmul inputs to bf16 — a ~1e-3 input difference the
-    SRK dynamics amplify past the comparison tolerance over the solve."""
+    Runs the scan side at exact-f32 matmul precision (HIGHEST): XLA's
+    TPU default rounds matmul inputs to bf16 — a ~1e-3 input difference
+    the SRK dynamics amplify past the comparison tolerance."""
     from snsde.fields import DiffusionField
     from snsde.kernels.fused_srk import fused_srk_solve
     from snsde.models.neuralsde import resolve_dt
@@ -226,7 +235,7 @@ def test_fused_srk_matches_scan_tpu():
     dW = brownian_increments(kw, grid, (B, H))
     U = space_time_levy_area(ku, grid, (B, H), dW)
     bm = BrownianGrid(grid=jnp.asarray(grid), dW=dW, U=U)
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         ys_ref = sdeint(field.f, field.g, y0, times, bm=bm, method="srk")
     ys_fused = fused_srk_solve(field, path, times, y0, kb)
     # 2e-2 on chip: the SRK tableau runs 6 chained evals/step, so the
@@ -262,7 +271,7 @@ def test_fused_cde_matches_scan_tpu(method):
     z0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
     dt = 0.5
     zs_fused = fused_cde_solve(func, path, times, z0, dt=dt, method=method)
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         zs_scan = cdeint(path, func, z0, times, dt=dt, method=method)
     np.testing.assert_allclose(
         np.asarray(zs_fused), np.asarray(zs_scan), atol=5e-3
@@ -275,7 +284,7 @@ def test_fused_cde_matches_scan_tpu(method):
         )
 
     def loss_scan(fld):
-        with jax.default_matmul_precision("high"):
+        with jax.default_matmul_precision("highest"):
             return jnp.sum(
                 cdeint(path, fld, z0, times, dt=dt, method=method)[-1] ** 2
             )
@@ -310,7 +319,7 @@ def test_fused_latent_matches_scan_tpu():
     key = jax.random.PRNGKey(5)
     dt = resolve_dt(times)
     ys_fused = fused_latent_em_solve(model, times, aug0, key, dt=dt)
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         ys_scan = sdeint(model.f_aug, model.g_aug, aug0, times, key=key,
                          dt=dt, method="euler")
     np.testing.assert_allclose(np.asarray(ys_fused), np.asarray(ys_scan),
@@ -338,7 +347,7 @@ def test_fused_gru_matches_scan_tpu():
         h2 = ob[:, None] * h2 + (1 - ob[:, None]) * h_in
         return h2, h2
 
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         _, hs_scan = jax.lax.scan(step, jnp.zeros((B, H)), (xs, obs, hdec))
     hs_fused = fused_gru_scan(cell, xs, obs=obs, hdec=hdec)
     np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),
@@ -360,7 +369,7 @@ def test_fused_lstm_matches_scan_tpu():
         h, carry = cell(x, carry)
         return carry, h
 
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         _, hs_scan = jax.lax.scan(step, init, xs)
     hs_fused = fused_lstm_scan(cell, xs)
     np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),

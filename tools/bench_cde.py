@@ -8,6 +8,8 @@ reference's workloads actually run:
   * uea_euler  — cheapest tableau at the sweep shape
   * gruode_rk4 — the GRU-ODE field kind at the sweep shape
   * latent_em  — LatentSDE (fused EM latent mode), sweep-like shape
+  * gru / lstm — plain SeqRNN recurrences (fused GRU/LSTM kernels; the
+                 solver `method` does not apply — recorded as '-')
 
 Each config runs fused THEN scan in one process and reports the ratio.
 Writes BENCH_CDE.json. Usage:
@@ -102,13 +104,24 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
     kws = jnp.stack([jax.random.fold_in(key, i) for i in range(iters)])
     _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
     losses.block_until_ready()
-    t0 = time.perf_counter()
-    _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+    # median over repeats (VERDICT r3 weak #5: 3-12% run-to-run drift)
+    repeats = int(os.environ.get("SNSDE_BENCH_REPEATS", "5"))
+    dts = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
+        losses.block_until_ready()
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     assert bool(jnp.isfinite(losses).all())
+    # plain RNNs run L recurrence steps; the solvers take L-1 grid steps
+    steps = L if field in ("gru", "lstm") else L - 1
     return {"train_step_ms": round(dt / iters * 1e3, 3),
-            "sample_steps_per_sec": round(iters * (L - 1) * B / dt, 1)}
+            "sample_steps_per_sec": round(iters * steps * B / dt, 1),
+            "sample_steps_iqr": [
+                round(iters * steps * B / float(np.percentile(dts, 75)), 1),
+                round(iters * steps * B / float(np.percentile(dts, 25)), 1)],
+            "repeats": repeats}
 
 
 CONFIGS = {
@@ -119,8 +132,10 @@ CONFIGS = {
                        field="gruode"),
     "latent_em": dict(method="euler", B=1024, L=72, C=6, H=32,
                       field="latent"),
-    "gru": dict(method="euler", B=1024, L=72, C=6, H=32, field="gru"),
-    "lstm": dict(method="euler", B=1024, L=72, C=6, H=32, field="lstm"),
+    # plain RNN recurrences ignore the ODE solver; method '-' keeps the
+    # JSON record honest (ADVICE r3)
+    "gru": dict(method="-", B=1024, L=72, C=6, H=32, field="gru"),
+    "lstm": dict(method="-", B=1024, L=72, C=6, H=32, field="lstm"),
 }
 
 

@@ -81,10 +81,17 @@ def bench_one(model_name, method, B, L, C, H, layers=2, iters=50,
     kws = jnp.stack([jax.random.fold_in(key, i) for i in range(iters)])
     _, _, losses = train_loop(model, opt_state, coeffs, y, kws)
     losses.block_until_ready()
-    t0 = time.perf_counter()
-    model, opt_state, losses = train_loop(model, opt_state, coeffs, y, kws)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+    # median over repeats: single runs drift 3-12% on the remote runtime
+    # (VERDICT r3 weak #5)
+    repeats = int(os.environ.get("SNSDE_BENCH_REPEATS", "5"))
+    dts = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        model, opt_state, losses = train_loop(model, opt_state, coeffs, y,
+                                              kws)
+        losses.block_until_ready()
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     assert bool(jnp.isfinite(losses).all())
 
     # serving path: forward-only batch scoring (no backward/optimizer),
@@ -101,18 +108,26 @@ def bench_one(model_name, method, B, L, C, H, layers=2, iters=50,
 
     out = infer_loop(model, coeffs, kws)
     out.block_until_ready()
-    t0 = time.perf_counter()
-    out = infer_loop(model, coeffs, kws)
-    out.block_until_ready()
-    dt_inf = time.perf_counter() - t0
+    dts_inf = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        out = infer_loop(model, coeffs, kws)
+        out.block_until_ready()
+        dts_inf.append(time.perf_counter() - t0)
+    dt_inf = float(np.median(dts_inf))
     assert bool(jnp.isfinite(out).all())
 
     step_ms = dt / iters * 1e3
     sample_steps = iters * (L - 1) * B / dt
+    spread = lambda ds: [
+        round(iters * (L - 1) * B / float(np.percentile(ds, 75)), 1),
+        round(iters * (L - 1) * B / float(np.percentile(ds, 25)), 1)]
     return {"model": model_name, "method": method, "B": B, "L": L,
             "C": C, "H": H, "in_kernel_rng": rng_mode,
             "train_step_ms": round(step_ms, 3),
             "sample_steps_per_sec": round(sample_steps, 1),
+            "sample_steps_iqr": spread(dts),
+            "repeats": repeats,
             "infer_step_ms": round(dt_inf / iters * 1e3, 3),
             "infer_samples_per_sec": round(iters * B / dt_inf, 1)}
 
