@@ -156,14 +156,14 @@ class LatentSDE(Module):
         ys = None
         if (method == "euler" and bm is None
                 and os.environ.get("SNSDE_NO_FUSED", "0") != "1"
-                and os.environ.get("SNSDE_FUSED_LATENT", "0") == "1"
+                and os.environ.get("SNSDE_FUSED_LATENT", "1") != "0"
                 and jax.default_backend() == "tpu"):
             # the fused EM kernel's latent mode runs the augmented system
             # (drift MLP + OU prior + KL rate) entirely on-chip.
-            # Gated OFF by default (SNSDE_FUSED_LATENT=1 opts in): the
-            # Mosaic-compiled kernel failed TPU parity in the round-3
-            # recovery run (7.5% mismatch) — scan is the safe default
-            # until the hardware suite is green.
+            # Default ON: the round-3 parity failure was root-caused to
+            # Mosaic's bf16-rounded DEFAULT dot precision and fixed by
+            # pinning exact-f32 dots (round 4; KL-lane divergence
+            # <= 4.9e-4 abs on O(30) values vs the scan path).
             from ..kernels.fused_em import fused_latent_em_solve, is_batched
 
             if not is_batched(self, coeffs, key):

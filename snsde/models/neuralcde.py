@@ -39,13 +39,14 @@ def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
     bound (field, method) supports it (FinalTanh/SingleHiddenLayer on any
     explicit tableau incl. the reference's rk4 default; TPU only),
     otherwise the generic scan cdeint. SNSDE_NO_FUSED=1 forces the scan
-    path (perf A/Bs, debugging). SNSDE_FUSED_CDE=0 disables just the CDE
-    kernel (the round-3b Mosaic-compiled kernel failed TPU parity; it is
-    gated OFF by default until the hardware suite is green — set
-    SNSDE_FUSED_CDE=1 to opt in)."""
+    path (perf A/Bs, debugging); SNSDE_FUSED_CDE=0 disables just the CDE
+    kernel. Default ON: the round-3b parity failure was root-caused to
+    Mosaic's bf16-rounded DEFAULT dot precision and fixed by pinning
+    exact-f32 dots (round 4; hardware suite green, full-solve divergence
+    <= 7.6e-6 vs the scan path)."""
     if os.environ.get("SNSDE_NO_FUSED", "0") == "1":
         use_fused = False
-    if os.environ.get("SNSDE_FUSED_CDE", "0") != "1":
+    if os.environ.get("SNSDE_FUSED_CDE", "1") == "0":
         use_fused = False
     if (use_fused and jax.default_backend() == "tpu"
             and hasattr(path, "derivative_grid")):

