@@ -51,7 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_em import (LANE, _dot, _interpret, _pad_to, _pick_block,
+from .fused_em import (LANE, _dot, _interpret, _mm_mode, _pad_to,
+                       _pick_block,
                        _round_up, is_batched)
 
 __all__ = ["fused_cde_solve", "supports_fused_cde", "FUSED_CDE_METHODS"]
@@ -534,9 +535,12 @@ def _pick_cde_block(B, cfg, bwd=False):
     # keeps the recomputed per-stage wide intermediates live alongside the
     # weight-grad accumulators — at the bench shape (B=1024, CHp=256) the
     # forward's block overflowed scoped VMEM there (21.76M > 16M, round-3
-    # recovery stage2.log), so the backward budgets half the rows.
+    # recovery stage2.log) and a half-budget backward block (512 rows)
+    # still overflowed (18.27M > 16M, round-4 stage2 bench_cde.log), so
+    # the backward budgets a quarter of the rows (block 256 at that
+    # shape).
     cap = (256 * 1152) // LANE
-    return _pick_block(B, cfg["CHp"], cap_rows=cap // 2 if bwd else cap)
+    return _pick_block(B, cfg["CHp"], cap_rows=cap // 4 if bwd else cap)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -684,7 +688,7 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
         inners = ()
         HH = H
 
-    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    mm_bf16 = _mm_mode()
     traj_bf16 = stream_dtype == jnp.bfloat16
     cfg_key = (method, act, n_inner, H, HH, C, mm_bf16, traj_bf16, members)
     cfg = _config(*cfg_key)

@@ -64,24 +64,45 @@ def _interpret():
     return os.environ.get("SNSDE_FUSED_INTERPRET", "0") == "1"
 
 
-def _dot(x, w, mm_bf16: bool):
-    """MXU matmul with f32 accumulation.
+def _dot(x, w, mm):
+    """MXU matmul with f32 accumulation, three operand-precision modes
+    (SNSDE_FUSED_MATMUL; cfg['mm_bf16']):
 
-    The f32 path pins precision=HIGHEST: inside Mosaic the DEFAULT dot
-    precision rounds f32 operands to bf16 on the MXU (measured on v5e:
-    1.3e-1 max abs error on a 128-term N(0,1) dot vs exact f32 — the
-    round-4 root cause of every compiled-kernel parity failure; interpret
-    mode computes exact f32, which is why the CPU suite stayed green).
-    HIGHEST is exact f32 on chip.
-
-    mm_bf16 casts the operands to bfloat16 explicitly (SNSDE_FUSED_MATMUL
-    =bf16 A/B knob); accumulation stays f32 either way."""
-    if mm_bf16:
+    * False ('f32'): precision=HIGHEST — exact f32. Inside Mosaic the
+      DEFAULT dot precision rounds f32 operands to bf16 on the MXU
+      (measured on v5e: 1.3e-1 max abs error on a 128-term N(0,1) dot —
+      the round-4 root cause of every compiled-kernel parity failure;
+      interpret mode computes exact f32, which is why the CPU suite
+      stayed green). Exactness costs MXU passes: 26.7M vs 44.8M
+      sample-steps/s at the headline shape.
+    * 'x3' ('bf16x3'): 3-pass split-operand product xh@wh + xh@wl +
+      xl@wh — ~2^-16 relative operand fidelity (measured 2.9e-4 abs on
+      the same probe dot), strictly tighter than the torch reference's
+      own Ampere TF32 matmul regime, at roughly half the exact-f32 MXU
+      cost.
+    * True ('bf16'): single-pass explicit bf16 operands (fastest, the
+      pre-round-4 effective behavior). Accumulation is f32 in all modes.
+    """
+    if mm == "x3":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return d(xh, wh) + d(xh, wl) + d(xl, wh)
+    if mm:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
     return jnp.dot(x, w, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm_mode():
+    """Resolve SNSDE_FUSED_MATMUL to the static cfg['mm_bf16'] value:
+    'bf16' -> True, 'bf16x3' -> 'x3', anything else -> False (exact)."""
+    v = os.environ.get("SNSDE_FUSED_MATMUL", "f32")
+    return True if v == "bf16" else ("x3" if v == "bf16x3" else False)
 
 
 def _pdot(a, b):
@@ -1111,7 +1132,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     # compute-bound fused step (tools/roofline.py). Off by default for
     # bit-level parity with the scan path; the bench and production
     # training set SNSDE_FUSED_MATMUL=bf16.
-    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    mm_bf16 = _mm_mode()
     # In-kernel RNG (SNSDE_FUSED_RNG=1): Brownian increments are generated
     # INSIDE the kernels from the hardware PRNG (regenerated bit-identically
     # in the backward), so no [M,B,H] dW stream is built or read from HBM.
@@ -1246,7 +1267,7 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
         streams["srow"] = jnp.concatenate(
             [streams.pop(n) for n in cfg["srows"]], axis=1)
 
-    if mm_bf16:
+    if mm_bf16 is True:
         # Pre-cast weight matrices to bf16 once, OUTSIDE the kernel — the
         # in-kernel per-step cast of [128,128] weights costs more VPU time
         # than the MXU saves (measured). Biases/theta stay f32 (added
@@ -1320,7 +1341,7 @@ def fused_latent_em_solve(model, times, aug0, key, dt=None,
     HH = model.linear_out.in_features
     Hp = _round_up(max(H, HH, 8), LANE)
     n_inner = len(model.linears)
-    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    mm_bf16 = _mm_mode()
     traj_bf16 = stream_dtype == jnp.bfloat16
     coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
     # lane-packed multi-model latent solves (kernels/multi.py) carry the
@@ -1392,7 +1413,7 @@ def fused_latent_em_solve(model, times, aug0, key, dt=None,
     if cfg["srows"]:
         streams["srow"] = jnp.concatenate(
             [streams.pop(n) for n in cfg["srows"]], axis=1)
-    if mm_bf16:
+    if mm_bf16 is True:
         for k_ in ("wy", "wout"):
             params[k_] = params[k_].astype(jnp.bfloat16)
         params["w_inner"] = tuple(

@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_em import (LANE, _dot, _interpret, _pad_to, _pick_block,
+from .fused_em import (LANE, _dot, _interpret, _mm_mode, _pad_to,
+                       _pick_block,
                        _round_up)
 
 __all__ = ["fused_gru_scan", "fused_lstm_scan",
@@ -502,7 +503,7 @@ def fused_gru_scan(cell, xs, h0=None, reverse: bool = False,
         streams["tdif"] = jnp.asarray(tdif, jnp.float32).reshape(-1, 1)
     h0p = _pad_to(h0.astype(jnp.float32), Hp, 1)
 
-    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    mm_bf16 = _mm_mode()
     traj_bf16 = stream_dtype == jnp.bfloat16
     U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
     U = max(1, min(U, L))
@@ -1038,7 +1039,7 @@ def fused_lstm_scan(cell, xs, reverse: bool = False, stream_dtype=None,
             tel = jnp.flip(tel, axis=0)
         streams["tel"] = jnp.broadcast_to(
             tel.astype(stream_dtype)[:, :, None], (L, tel.shape[1], Hp))
-    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    mm_bf16 = _mm_mode()
     traj_bf16 = stream_dtype == jnp.bfloat16
     U = int(os.environ.get("SNSDE_FUSED_UNROLL", "4"))
     U = max(1, min(U, L))

@@ -46,6 +46,7 @@ from .fused_em import (
     _drift_forward,
     _flatten_params,
     _interpret,
+    _mm_mode,
     _noise_bwd,
     _noise_forward,
     _pad_to,
@@ -580,14 +581,19 @@ def _fused_srk_backward(params, streams, dts, y0, ys, gys, *, cfg,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-def _pick_block(B, Hp=LANE):
+def _pick_block(B, Hp=LANE, bwd=False, mm=True):
     # SRK streams 2x the EM kernel's per-iteration VMEM (xh0/xh1, dw/i10,
     # three gk rows), so its sweet spot sits one notch below EM's:
     # cap_rows=512 (512-row blocks measured 28.1M vs 26.9M at 256 on
     # v5e). Shared block-picking algorithm lives in fused_em._pick_block.
+    # Exact-f32 / bf16x3 matmuls (mm is not True) need Mosaic
+    # operand-split scratch on top of that: the BACKWARD overflows scoped
+    # VMEM at 512 rows under exact f32 (17.06M > 16M, round-4
+    # ab/srk_baseline.log), so those modes drop the backward one notch.
     from .fused_em import _pick_block as _pick
 
-    return _pick(B, Hp, cap_rows=512)
+    cap = 256 if (bwd and mm is not True) else 512
+    return _pick(B, Hp, cap_rows=cap)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -614,7 +620,8 @@ def _fused_srk_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
     dparams, dstreams, dy0 = _fused_srk_backward(
         params, streams, dts, y0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        cfg=cfg, n_inner=n_inner, block_b=_pick_block(*y0.shape),
+        cfg=cfg, n_inner=n_inner,
+        block_b=_pick_block(*y0.shape, bwd=True, mm=cfg["mm_bf16"]),
         unroll=unroll,
     )
     for k, v in streams.items():
@@ -693,7 +700,7 @@ def fused_srk_solve(field, path, times, y0, key, dt=None,
     n_inner = len(field.linears)
     io = field.input_option
     no = field.noise_option
-    mm_bf16 = os.environ.get("SNSDE_FUSED_MATMUL", "f32") == "bf16"
+    mm_bf16 = _mm_mode()
     traj_bf16 = stream_dtype == jnp.bfloat16
     merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
     coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"

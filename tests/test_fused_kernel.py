@@ -110,6 +110,36 @@ def test_fused_gradients_match_scan():
 
 
 @requires_tpu
+def test_bf16x3_matmul_mode(monkeypatch):
+    """SNSDE_FUSED_MATMUL=bf16x3 (3-pass split-operand matmuls, ~2^-16
+    operand fidelity — tighter than the torch reference's TF32 regime):
+    trajectories within 5e-3 of the exact-f32 kernel at the parity
+    shape."""
+    from snsde.fields import DiffusionField
+    from snsde.kernels.fused_em import fused_em_solve
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    B, L, C, H = 128, 12, 5, 33
+    times = np.arange(L, dtype=np.float32)
+    X = rng.normal(size=(B, L, C)).astype(np.float32)
+    coeffs = hermite_cubic_coeffs(jnp.asarray(times), jnp.asarray(X))
+    path = CubicPath(coeffs, times)
+    field = DiffusionField.create(
+        key, C, H, H, 2, input_option=4, noise_option=17
+    ).bind(path)
+    y0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    kb = jax.random.fold_in(key, 7)
+    ys_f32 = fused_em_solve(field, path, times, y0, kb)
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "bf16x3")
+    ys_x3 = fused_em_solve(field, path, times, y0, kb)
+    np.testing.assert_allclose(
+        np.asarray(ys_f32), np.asarray(ys_x3), atol=5e-3
+    )
+
+
+@requires_tpu
 def test_bf16_streams_gradient_fidelity():
     """bf16 solver streams: gradients within 1% relative of the f32 path."""
     from snsde.fields import DiffusionField
