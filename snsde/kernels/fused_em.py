@@ -77,9 +77,11 @@ def _dot(x, w, mm):
       sample-steps/s at the headline shape.
     * 'x3' ('bf16x3'): 3-pass split-operand product xh@wh + xh@wl +
       xl@wh — ~2^-16 relative operand fidelity (measured 2.9e-4 abs on
-      the same probe dot), strictly tighter than the torch reference's
-      own Ampere TF32 matmul regime, at roughly half the exact-f32 MXU
-      cost.
+      the same probe dot): tighter than Ampere TF32 (2^-10 mantissa)
+      and ~256x tighter than the TPU platform default the scan path
+      runs at, at roughly half the exact-f32 MXU cost. (The torch
+      reference itself computes exact-f32 matmuls — it never enables
+      TF32 — which is what the default mode matches.)
     * True ('bf16'): single-pass explicit bf16 operands (fastest, the
       pre-round-4 effective behavior). Accumulation is f32 in all modes.
     """
