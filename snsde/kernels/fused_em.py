@@ -996,12 +996,23 @@ def _pick_block(B, Hp=LANE, cap_rows=1024):
     return best or B
 
 
-def _pick_block_cfg(cfg, B, Hp=LANE):
+def _pick_block_cfg(cfg, B, Hp=LANE, bwd=False):
     # in-kernel RNG keeps (U/2+1) [block, Hp] random-bit planes x2 plus
     # the Box-Muller f32 intermediates live on the kernel stack; 1024-row
     # blocks overflow the 16M scoped-VMEM budget there (measured: 16.82M
-    # at the round-3 retuned default), so RNG mode caps at 512 rows
-    return _pick_block(B, Hp, cap_rows=512 if cfg["rng"] else 1024)
+    # at the round-3 retuned default), so RNG mode caps at 512 rows.
+    # The BACKWARD under exact-f32/bf16x3 matmuls with f32 streams adds
+    # Mosaic operand-split scratch on top of the f32 residual streams and
+    # overflows at 1024 rows (16.50M, round-4 flagship_sepsis.log); bf16
+    # streams halve the residual footprint and still fit. Under exact
+    # f32 the 512-row block is also the FASTER choice (28.0M vs 26.7M,
+    # round-4 ab/block512.log), so the cap costs nothing.
+    cap = 1024
+    if cfg["rng"]:
+        cap = 512
+    if bwd and cfg["mm_bf16"] is not True and not cfg["traj_bf16"]:
+        cap = min(cap, 512)
+    return _pick_block(B, Hp, cap_rows=cap)
 
 
 def _fused_em_fwd(params, streams, dw, y0, dts_tuple, cfg_key, n_inner,
@@ -1018,7 +1029,8 @@ def _fused_em_bwd(dts_tuple, cfg_key, n_inner, unroll, res, gys_full):
     dparams, dstreams, dy0 = _fused_em_backward(
         params, streams, dw, dts, y0, ys,
         jnp.concatenate([jnp.zeros_like(gys_full[:1]), gys_full], axis=0),
-        cfg=cfg, n_inner=n_inner, block_b=_pick_block_cfg(cfg, *y0.shape),
+        cfg=cfg, n_inner=n_inner,
+        block_b=_pick_block_cfg(cfg, *y0.shape, bwd=True),
         unroll=unroll,
     )
     # zero cotangents for any stream the kernel does not differentiate
