@@ -404,3 +404,32 @@ def test_fused_lstm_matches_scan_tpu():
     hs_fused = fused_lstm_scan(cell, xs)
     np.testing.assert_allclose(np.asarray(hs_fused), np.asarray(hs_scan),
                                atol=5e-3)
+
+
+def test_backward_block_caps():
+    """Scoped-VMEM regression pins (CPU-checkable, pure block math).
+
+    Each row reproduces a config that overflowed Mosaic's 16M scoped-VMEM
+    stack on v5e before the backward-aware caps (round-4 logs:
+    flagship_sepsis 16.50M @ EM bwd 1024 rows; ab/srk_baseline 17.06M @
+    SRK bwd 512; stage2 bench_cde 18.27M @ CDE bwd 512)."""
+    from snsde.kernels.fused_cde import _pick_cde_block
+    from snsde.kernels.fused_em import _config, _pick_block_cfg
+    from snsde.kernels.fused_srk import _pick_block as srk_pick
+
+    # EM, exact-f32 matmuls + f32 streams (flagship config): bwd <= 512
+    cfg = _config(4, 17, False, False, 49, False)
+    assert _pick_block_cfg(cfg, 1024, 128) == 1024
+    assert _pick_block_cfg(cfg, 1024, 128, bwd=True) == 512
+    # bf16 streams halve the residual footprint: 1024 stays (bench config)
+    cfg_b = _config(4, 17, False, False, 49, True)
+    assert _pick_block_cfg(cfg_b, 1024, 128, bwd=True) == 1024
+    # SRK: exact/x3 backward drops a notch; bf16 keeps the 512 optimum
+    assert srk_pick(1024, 128) == 512
+    assert srk_pick(1024, 128, bwd=True, mm=False) == 256
+    assert srk_pick(1024, 128, bwd=True, mm="x3") == 256
+    assert srk_pick(1024, 128, bwd=True, mm=True) == 512
+    # CDE: backward quarters the row budget (block 256 at bench CHp=256)
+    cde_cfg = {"CHp": 256}
+    assert _pick_cde_block(1024, cde_cfg) == 1024
+    assert _pick_cde_block(1024, cde_cfg, bwd=True) == 256
