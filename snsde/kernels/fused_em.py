@@ -1001,16 +1001,18 @@ def _pick_block_cfg(cfg, B, Hp=LANE, bwd=False):
     # the Box-Muller f32 intermediates live on the kernel stack; 1024-row
     # blocks overflow the 16M scoped-VMEM budget there (measured: 16.82M
     # at the round-3 retuned default), so RNG mode caps at 512 rows.
-    # The BACKWARD under exact-f32/bf16x3 matmuls with f32 streams adds
-    # Mosaic operand-split scratch on top of the f32 residual streams and
-    # overflows at 1024 rows (16.50M, round-4 flagship_sepsis.log); bf16
-    # streams halve the residual footprint and still fit. Under exact
-    # f32 the 512-row block is also the FASTER choice (28.0M vs 26.7M,
-    # round-4 ab/block512.log), so the cap costs nothing.
+    # The BACKWARD under exact-f32/bf16x3 matmuls adds Mosaic
+    # operand-split scratch on top of the residual streams and overflows
+    # 1024-row blocks: 16.50M with f32 streams at L=72 (round-4
+    # flagship_sepsis.log) and 16.52M even with bf16 streams at L=160
+    # (round-4 bench_shapes_r2.log — the full-length [L,1,H] scalar-row
+    # streams scale with L and eat the headroom bf16 trajectories buy).
+    # Under exact f32 the 512-row block is also the FASTER choice (28.0M
+    # vs 26.7M, round-4 ab/block512.log), so the cap costs nothing.
     cap = 1024
     if cfg["rng"]:
         cap = 512
-    if bwd and cfg["mm_bf16"] is not True and not cfg["traj_bf16"]:
+    if bwd and cfg["mm_bf16"] is not True:
         cap = min(cap, 512)
     return _pick_block(B, Hp, cap_rows=cap)
 

@@ -421,9 +421,13 @@ def test_backward_block_caps():
     cfg = _config(4, 17, False, False, 49, False)
     assert _pick_block_cfg(cfg, 1024, 128) == 1024
     assert _pick_block_cfg(cfg, 1024, 128, bwd=True) == 512
-    # bf16 streams halve the residual footprint: 1024 stays (bench config)
+    # bf16 streams ALSO overflow at 1024 once exact-f32 matmuls add
+    # operand-split scratch (16.52M @ L=160, round-4 bench_shapes_r2.log)
     cfg_b = _config(4, 17, False, False, 49, True)
-    assert _pick_block_cfg(cfg_b, 1024, 128, bwd=True) == 1024
+    assert _pick_block_cfg(cfg_b, 1024, 128, bwd=True) == 512
+    # single-pass bf16 matmuls have no operand-split scratch: 1024 stays
+    cfg_mm = _config(4, 17, True, False, 49, True)
+    assert _pick_block_cfg(cfg_mm, 1024, 128, bwd=True) == 1024
     # SRK: exact/x3 backward drops a notch; bf16 keeps the 512 optimum
     assert srk_pick(1024, 128) == 512
     assert srk_pick(1024, 128, bwd=True, mm=False) == 256

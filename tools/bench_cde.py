@@ -113,7 +113,9 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
         losses.block_until_ready()
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
-    assert bool(jnp.isfinite(losses).all())
+    if not bool(jnp.isfinite(losses).all()):
+        raise FloatingPointError(
+            f"non-finite training losses: {np.asarray(losses)[:8]} ...")
     # plain RNNs run L recurrence steps; the solvers take L-1 grid steps
     steps = L if field in ("gru", "lstm") else L - 1
     return {"train_step_ms": round(dt / iters * 1e3, 3),
@@ -151,22 +153,30 @@ def main():
         with open(args.out) as f:
             records = json.load(f)
     for name in args.only:
-        rec = {"name": name, **CONFIGS[name]}
+        rec = {"name": name, **CONFIGS[name],
+               "matmul_mode": os.environ.get("SNSDE_FUSED_MATMUL",
+                                             "(default)")}
         for mode, env in (("fused", "0"), ("scan", "1")):
             os.environ["SNSDE_NO_FUSED"] = env
             print(f"=== {name} [{mode}] ===", flush=True)
             t0 = time.time()
-            r = bench_one(name, iters=args.iters, **CONFIGS[name])
+            # one arm failing (VMEM OOM, divergence) must not lose the
+            # other configs' measurements — record the error and move on
+            try:
+                r = bench_one(name, iters=args.iters, **CONFIGS[name])
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                r = {"error": f"{type(e).__name__}: {e}"[:500]}
+                print(f"{name} [{mode}] FAILED: {r['error']}", flush=True)
             r["total_s_incl_compile"] = round(time.time() - t0, 1)
             rec[mode] = r
             print(json.dumps(r), flush=True)
-        rec["speedup"] = round(
-            rec["scan"]["train_step_ms"] / rec["fused"]["train_step_ms"], 2
-        )
+        if "error" not in rec["fused"] and "error" not in rec["scan"]:
+            rec["speedup"] = round(rec["scan"]["train_step_ms"]
+                                   / rec["fused"]["train_step_ms"], 2)
         records[name] = rec
         with open(args.out, "w") as f:
             json.dump(records, f, indent=2)
-        print(f"{name}: {rec['speedup']}x", flush=True)
+        print(f"{name}: {rec.get('speedup', 'n/a')}x", flush=True)
     print(f"wrote {args.out}", flush=True)
 
 
