@@ -1158,11 +1158,16 @@ def fused_em_solve(field, path, times, y0, key, dt=None,
     rng_mode = (os.environ.get("SNSDE_FUSED_RNG", "0") == "1"
                 and not _interpret() and dW_override is None)
     traj_bf16 = stream_dtype == jnp.bfloat16
-    # SNSDE_FUSED_MERGE=1: fold wy@we1 (and a@we1 + be) into effective
-    # params outside the kernel — one drift-input matmul per step instead
-    # of two. f32 reassociation deviates ~1e-7/step from the two-matmul
-    # form (same law); off by default pending a measured TPU win.
-    merged = os.environ.get("SNSDE_FUSED_MERGE", "0") == "1"
+    # SNSDE_FUSED_MERGE (default ON): fold wy@we1 (and a@we1 + be) into
+    # effective params outside the kernel — one drift-input matmul per
+    # step instead of two. f32 reassociation deviates ~1e-7/step from the
+    # two-matmul form (same law). Measured on v5e round 4: +22% under
+    # exact f32 (32.6M vs 26.7M), +6.4% under bf16x3 EM (39.5M vs
+    # 37.1M), +8.2% under bf16x3 SRK (23.2M vs 21.5M); the round-3 loss
+    # under single-pass bf16 operands was an artifact of the
+    # wrong-precision regime. SNSDE_FUSED_MERGE=0 restores the literal
+    # two-matmul form for bit-level A/Bs.
+    merged = os.environ.get("SNSDE_FUSED_MERGE", "1") != "0"
     coalesce = os.environ.get("SNSDE_FUSED_COALESCE", "0") == "1"
     # SNSDE_FUSED_HOIST=0: keep xh@we2 in-kernel (A/B knob; the hoist
     # won +6% on v5e — 47.0M vs 44.2M — and is the default)
