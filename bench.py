@@ -26,13 +26,20 @@ import numpy as np
 # relative of the f32 path. Library default stays f32; the bench measures
 # the production training configuration.
 os.environ.setdefault("SNSDE_FUSED_STREAM", "bf16")
-# SNSDE_FUSED_MATMUL=bf16 casts matmul operands to bf16 (4x MXU rate).
-# A/B on v5e: in-kernel per-step casting was ~3% slower; with weights
-# pre-cast once outside the kernel it is exactly neutral (44.28M vs
-# 44.18M, within noise) — the per-step matmuls are [512,128]x[128,128],
-# latency-bound, not throughput-bound. Keep f32 operands for bit-level
-# parity with the scan path.
-os.environ.setdefault("SNSDE_FUSED_MATMUL", "f32")
+# Matmul operand mode. The library default is exact f32 (HIGHEST — the
+# torch reference's regime); the bench measures the production training
+# configuration: bf16x3 split-operand dots (~2^-16 operand fidelity,
+# 3 MXU passes instead of HIGHEST's 6). Round-4 v5e matrix (median of 7):
+# bf16x3+merge+U2 39.9M vs exact-f32+merge+U2 32.5M EM steps/s — the
+# corrected-precision step is MXU-pass-bound, so operand mode is the
+# biggest lever. (The round-2 "bf16 is neutral" A/B is retracted: its
+# f32 arm was silently bf16-rounded by Mosaic's DEFAULT dot precision,
+# the round-4 root-cause bug.) Gradient fidelity under bf16x3 is ~1e-4
+# relative of exact f32 (tools/probe_precision.py).
+os.environ.setdefault("SNSDE_FUSED_MATMUL", "bf16x3")
+# U=2 unroll won the round-4 matrix at the headline shape (39.91M vs
+# 39.51M at the default U=4) with a tighter IQR.
+os.environ.setdefault("SNSDE_FUSED_UNROLL", "2")
 
 BATCH = 1024
 LENGTH = 72          # sepsis grid (reference datasets/sepsis.py:59)

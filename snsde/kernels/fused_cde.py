@@ -688,7 +688,13 @@ def fused_cde_solve(func, path, times, z0, dt=None, method: str = "rk4",
         inners = ()
         HH = H
 
-    mm_bf16 = _mm_mode()
+    # GRU-ODE is precision-sensitive: its z-feedback through the three
+    # gate matmuls amplifies operand rounding — on v5e the scan path NaNs
+    # at iter 1 under the platform-default bf16 rounding and the fused
+    # path diverged after ~10 iters under bf16x3 (round-4
+    # tools/probe_gruode_nan.py; BENCH_CDE_X3.json gruode_rk4). Pin the
+    # gruode kind to exact-f32 dots regardless of SNSDE_FUSED_MATMUL.
+    mm_bf16 = False if act == "gruode" else _mm_mode()
     traj_bf16 = stream_dtype == jnp.bfloat16
     cfg_key = (method, act, n_inner, H, HH, C, mm_bf16, traj_bf16, members)
     cfg = _config(*cfg_key)

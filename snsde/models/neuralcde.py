@@ -54,6 +54,14 @@ def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
 
         if supports_fused_cde(func, method):
             return fused_cde_solve(func, path, ts, z0, dt=dt, method=method)
+    if getattr(func, "precision_sensitive", False):
+        # GRU-ODE NaNs at iter 1 on v5e under the platform-default bf16
+        # operand rounding (its z-feedback through the gate matmuls
+        # amplifies rounding; round-4 tools/probe_gruode_nan.py — clean
+        # convergence at exact f32). Pin the scan solve to exact dots;
+        # the fused kernel pins its gruode kind the same way.
+        with jax.default_matmul_precision("highest"):
+            return cdeint(path, func, z0, ts, dt=dt, method=method)
     return cdeint(path, func, z0, ts, dt=dt, method=method)
 
 
@@ -137,6 +145,11 @@ class GRUODEField(Module):
     W_h: Linear
     input_channels: int = static_field(default=1)
     hidden_channels: int = static_field(default=1)
+    # z feeds back through the three gate matmuls every solver stage;
+    # operand rounding amplifies and the scan path NaNs on TPU at the
+    # platform-default matmul precision (round-4 probe_gruode_nan.py).
+    # cde_solve_dispatch pins solves over this field to exact-f32 dots.
+    precision_sensitive = True
 
     @staticmethod
     def create(key, input_channels, hidden_channels, dtype=jnp.float32):

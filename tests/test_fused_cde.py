@@ -456,3 +456,29 @@ def test_fused_cde_exact_tile_widths():
     zs_scan = cdeint(path, func, z0, times, dt=0.3, method="rk4")
     np.testing.assert_allclose(np.asarray(zs_fused), np.asarray(zs_scan),
                                atol=3e-5)
+
+
+def test_gruode_pinned_exact_under_matmul_env(monkeypatch):
+    """GRU-ODE ignores SNSDE_FUSED_MATMUL: its z-feedback through the gate
+    matmuls amplifies operand rounding (NaN at iter 1 on v5e at platform
+    default, divergence after ~10 iters under bf16x3 — round-4
+    probe_gruode_nan.py), so the fused kernel pins the gruode kind to
+    exact-f32 dots. FinalTanh, by contrast, must still honor the env."""
+    from snsde.kernels.fused_cde import fused_cde_solve
+    from snsde.models.neuralcde import GRUODEField
+
+    assert GRUODEField.precision_sensitive
+
+    path, times, z0 = _setting()
+    gru = GRUODEField.create(jax.random.PRNGKey(4), 3, 5)
+    base = fused_cde_solve(gru, path, times, z0, dt=0.09, method="rk4")
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "bf16x3")
+    pinned = fused_cde_solve(gru, path, times, z0, dt=0.09, method="rk4")
+    assert bool(jnp.array_equal(base, pinned))   # bitwise: env ignored
+
+    ft = _make_field("final_tanh", 3, 5, 7, 1)
+    monkeypatch.delenv("SNSDE_FUSED_MATMUL")
+    ft_base = fused_cde_solve(ft, path, times, z0, dt=0.09, method="rk4")
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "bf16x3")
+    ft_x3 = fused_cde_solve(ft, path, times, z0, dt=0.09, method="rk4")
+    assert not bool(jnp.array_equal(ft_base, ft_x3))  # env honored

@@ -138,6 +138,18 @@ CONFIGS = {
     # JSON record honest (ADVICE r3)
     "gru": dict(method="-", B=1024, L=72, C=6, H=32, field="gru"),
     "lstm": dict(method="-", B=1024, L=72, C=6, H=32, field="lstm"),
+    # round-4 dispatch-gating sweep (run with --only): locate the
+    # fused-vs-scan crossover in C (the fused CDE one-hot contraction
+    # scales with H*C lanes) and H (per-step matmul width) so the
+    # default dispatch only fires where the kernel measurably wins
+    "cde_c12": dict(method="rk4", B=1024, L=72, C=12, H=32),
+    "cde_c20": dict(method="rk4", B=1024, L=72, C=20, H=32),
+    "cde_c6_h64": dict(method="rk4", B=1024, L=72, C=6, H=64),
+    "gru_h128": dict(method="-", B=1024, L=72, C=6, H=128, field="gru"),
+    "lstm_h128": dict(method="-", B=1024, L=72, C=6, H=128,
+                      field="lstm"),
+    "latent_h64": dict(method="euler", B=1024, L=72, C=6, H=64,
+                       field="latent"),
 }
 
 
@@ -146,6 +158,12 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--only", nargs="*", default=list(CONFIGS))
     ap.add_argument("--out", default="BENCH_CDE.json")
+    # fidelity-matched arm: the scan path under exact-f32 dots
+    # (jax.default_matmul_precision('highest')). The fused kernels compute
+    # exact f32 by default while the plain scan runs at the platform
+    # default (bf16-rounded operands), so fused-vs-scan alone conflates
+    # speed with fidelity; this arm is the at-reference-fidelity baseline.
+    ap.add_argument("--exact-scan-arm", action="store_true")
     args = ap.parse_args()
 
     records = {}
@@ -156,14 +174,24 @@ def main():
         rec = {"name": name, **CONFIGS[name],
                "matmul_mode": os.environ.get("SNSDE_FUSED_MATMUL",
                                              "(default)")}
-        for mode, env in (("fused", "0"), ("scan", "1")):
+        arms = [("fused", "0", None), ("scan", "1", None)]
+        if args.exact_scan_arm:
+            arms.append(("scan_exact", "1", "highest"))
+        for mode, env, prec in arms:
             os.environ["SNSDE_NO_FUSED"] = env
             print(f"=== {name} [{mode}] ===", flush=True)
             t0 = time.time()
             # one arm failing (VMEM OOM, divergence) must not lose the
             # other configs' measurements — record the error and move on
             try:
-                r = bench_one(name, iters=args.iters, **CONFIGS[name])
+                import contextlib
+
+                import jax
+
+                ctx = (jax.default_matmul_precision(prec) if prec
+                       else contextlib.nullcontext())
+                with ctx:
+                    r = bench_one(name, iters=args.iters, **CONFIGS[name])
             except Exception as e:  # noqa: BLE001 — recorded, not hidden
                 r = {"error": f"{type(e).__name__}: {e}"[:500]}
                 print(f"{name} [{mode}] FAILED: {r['error']}", flush=True)
@@ -173,6 +201,11 @@ def main():
         if "error" not in rec["fused"] and "error" not in rec["scan"]:
             rec["speedup"] = round(rec["scan"]["train_step_ms"]
                                    / rec["fused"]["train_step_ms"], 2)
+        if ("scan_exact" in rec and "error" not in rec["fused"]
+                and "error" not in rec["scan_exact"]):
+            rec["speedup_vs_exact"] = round(
+                rec["scan_exact"]["train_step_ms"]
+                / rec["fused"]["train_step_ms"], 2)
         records[name] = rec
         with open(args.out, "w") as f:
             json.dump(records, f, indent=2)
