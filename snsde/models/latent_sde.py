@@ -156,14 +156,18 @@ class LatentSDE(Module):
         ys = None
         if (method == "euler" and bm is None
                 and os.environ.get("SNSDE_NO_FUSED", "0") != "1"
-                and os.environ.get("SNSDE_FUSED_LATENT", "1") != "0"
+                and os.environ.get("SNSDE_FUSED_LATENT", "0") == "1"
                 and jax.default_backend() == "tpu"):
             # the fused EM kernel's latent mode runs the augmented system
-            # (drift MLP + OU prior + KL rate) entirely on-chip.
-            # Default ON: the round-3 parity failure was root-caused to
-            # Mosaic's bf16-rounded DEFAULT dot precision and fixed by
-            # pinning exact-f32 dots (round 4; KL-lane divergence
-            # <= 4.9e-4 abs on O(30) values vs the scan path).
+            # (drift MLP + OU prior + KL rate) entirely on-chip. Parity
+            # is green on hardware after the round-4 exact-f32 dot pin
+            # (KL-lane divergence <= 4.9e-4 abs vs the scan path), but
+            # the kernel LOSES to XLA's scan at every measured shape
+            # (BENCH_GATE.json: 0.85x at H=64, 0.78x at H=32 — the
+            # augmented system's small per-lane scalar rows starve the
+            # MXU), so dispatch is opt-in: SNSDE_FUSED_LATENT=1. The
+            # lane-PACKED latent path (pack_latent_models), which
+            # amortizes those rows across members, is unaffected.
             from ..kernels.fused_em import fused_latent_em_solve, is_batched
 
             if not is_batched(self, coeffs, key):

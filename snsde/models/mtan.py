@@ -148,14 +148,15 @@ class MultiTimeAttention(Module):
 def _bigru(cell_f: GRUCell, cell_b: GRUCell, xs):
     """xs [L, B, C] -> [L, B, 2H]. On TPU the recurrences run through the
     fused GRU kernel (kernels/fused_rnn.py, whole loop on-chip);
-    SNSDE_NO_FUSED=1 forces the scan path."""
-    import os
-
+    SNSDE_NO_FUSED=1 forces the scan path; the H-width perf gate is
+    shared with the other recurrent dispatch sites
+    (rnn._fused_rnn_enabled)."""
     B = xs.shape[1]
     H = cell_f.hidden_size
 
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("SNSDE_NO_FUSED", "0") != "1"):
+    from .rnn import _fused_rnn_enabled
+
+    if _fused_rnn_enabled(H):
         from ..kernels.fused_em import is_batched
         from ..kernels.fused_rnn import fused_gru_scan, supports_fused_gru
 

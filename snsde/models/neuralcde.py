@@ -33,6 +33,29 @@ __all__ = ["FinalTanh", "SingleHiddenLayer", "GRUODEField", "NeuralCDE",
            "NeuralCDEStream", "cde_solve_dispatch"]
 
 
+def _fused_cde_pays(func):
+    """Measured perf gate for the single-model fused CDE dispatch
+    (round-4 v5e gate sweep, BENCH_GATE.json + BENCH_CDE_X3.json): the
+    kernel's one-hot MXU expand/reduce contraction scales with the input
+    width C, so fused wins at C <= 12 (1.07-1.33x vs scan) and loses by
+    C = 20 (0.69x; C=35 sepsis 0.49x) — dispatch gates at
+    C <= SNSDE_FUSED_CDE_MAX_C (default 12; 0 disables the gate). The
+    GRU-ODE field kind loses at every measured shape (0.88x rk4) and is
+    opt-in via SNSDE_FUSED_GRUODE=1. The lane-PACKED multi-model path
+    (fused_cde_solve_packed; sweeps, vmap routing) is unaffected — it
+    amortizes the contraction across members and wins 1.78x at harness
+    scale."""
+    import os as _os
+
+    from ..kernels.fused_cde import _field_kind
+
+    kind = _field_kind(func)
+    if kind is not None and kind[0] == "gruode":
+        return _os.environ.get("SNSDE_FUSED_GRUODE", "0") == "1"
+    max_c = int(_os.environ.get("SNSDE_FUSED_CDE_MAX_C", "12"))
+    return max_c <= 0 or func.input_channels <= max_c
+
+
 def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
                        use_fused: bool = True):
     """Shared CDE solver dispatch: the fused Pallas CDE kernel when the
@@ -52,7 +75,7 @@ def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
             and hasattr(path, "derivative_grid")):
         from ..kernels.fused_cde import fused_cde_solve, supports_fused_cde
 
-        if supports_fused_cde(func, method):
+        if supports_fused_cde(func, method) and _fused_cde_pays(func):
             return fused_cde_solve(func, path, ts, z0, dt=dt, method=method)
     if getattr(func, "precision_sensitive", False):
         # GRU-ODE NaNs at iter 1 on v5e under the platform-default bf16

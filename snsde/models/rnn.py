@@ -28,13 +28,27 @@ from ..ops.interp import CubicPath
 __all__ = ["GRUdt", "GRUD", "ODERNN", "SeqRNN", "SeqTransformer", "SeqCNN"]
 
 
-def _fused_rnn_enabled():
+def _fused_rnn_enabled(hidden=None):
     """Shared gate for the fused recurrent-kernel dispatch sites
-    (SeqRNN, the observation-GRU family, mtan._bigru)."""
+    (SeqRNN, the observation-GRU family, mtan._bigru).
+
+    `hidden` adds the measured perf gate: the fused GRU/LSTM kernels only
+    beat the XLA scan path once the hidden width reaches MXU-tile scale
+    (round-4 v5e gate sweep, BENCH_GATE.json: H=128 wins 1.28x GRU /
+    1.13x LSTM; H=32 loses 0.58x / 0.54x). Dispatch defaults to fused at
+    H >= SNSDE_FUSED_RNN_MIN_H (default 64); set it to 0 to force the
+    kernel at any width (parity tests call the kernels directly and are
+    unaffected)."""
     import os
 
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("SNSDE_NO_FUSED", "0") != "1")
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("SNSDE_NO_FUSED", "0") == "1"):
+        return False
+    if hidden is not None:
+        min_h = int(os.environ.get("SNSDE_FUSED_RNN_MIN_H", "64"))
+        if hidden < min_h:
+            return False
+    return True
 
 
 def last_observation_excl(observed, idx_dtype=None):
@@ -83,7 +97,7 @@ class _ObservationGRUBase(Module):
         dt_acc recurrence is data-only, so it closes over an exclusive
         prefix sum + running last-observation max instead of a scan.
         Returns hs [L, B, H] or None (scan fallback)."""
-        if not _fused_rnn_enabled():
+        if not _fused_rnn_enabled(self.gru.hidden_size):
             return None
         if type(self) not in (GRUdt, GRUD, ODERNN):
             return None
@@ -367,7 +381,7 @@ class SeqRNN(Module):
 
     def _run(self, cell, xs, B, H, reverse=False):
         if isinstance(cell, LSTMCell):
-            if _fused_rnn_enabled():
+            if _fused_rnn_enabled(H):
                 from ..kernels.fused_em import is_batched
                 from ..kernels.fused_rnn import (fused_lstm_scan,
                                                  supports_fused_lstm)
@@ -380,7 +394,7 @@ class SeqRNN(Module):
                 h, carry = cell(x, carry)
                 return carry, h
         elif isinstance(cell, GRUCell):
-            if _fused_rnn_enabled():
+            if _fused_rnn_enabled(H):
                 from ..kernels.fused_em import is_batched
                 from ..kernels.fused_rnn import (fused_gru_scan,
                                                  supports_fused_gru)

@@ -185,8 +185,8 @@ def _fused_time_lstm(cell, xs, ts, cell_kind: str):
 
     from .rnn import _fused_rnn_enabled
 
-    if not _fused_rnn_enabled() or cell_kind not in ("plstm", "tglstm",
-                                                     "tlstm"):
+    if not _fused_rnn_enabled(cell.hidden_size) or cell_kind not in (
+            "plstm", "tglstm", "tlstm"):
         return None
     from ..kernels.fused_em import is_batched
     from ..kernels.fused_rnn import fused_lstm_scan, supports_fused_lstm
@@ -401,7 +401,7 @@ class GRUDFull(Module):
         full hdec stream. Returns hs [B, L, H] or None."""
         from ..models.rnn import _fused_rnn_enabled
 
-        if not _fused_rnn_enabled():
+        if not _fused_rnn_enabled(self.hidden_size):
             return None
         from ..kernels.fused_em import is_batched
         from ..kernels.fused_rnn import fused_gru_scan, supports_fused_gru
@@ -480,7 +480,7 @@ class ODELSTM(Module):
 
         from .rnn import _fused_rnn_enabled
 
-        if _fused_rnn_enabled() and self.solver == "euler":
+        if _fused_rnn_enabled(H) and self.solver == "euler":
             from ..kernels.fused_em import is_batched
             from ..kernels.fused_rnn import (fused_lstm_scan,
                                              supports_fused_lstm)

@@ -1,0 +1,58 @@
+"""Measured perf-gate policy for the fused-kernel dispatch sites.
+
+Round-4 v5e gate sweep (BENCH_GATE.json / BENCH_CDE_X3.json): the fused
+CDE kernel loses to scan above C=12, the GRU-ODE and latent kernels lose
+at every measured shape, and the fused GRU/LSTM recurrences only win at
+MXU-tile hidden widths. These tests pin the dispatch policy (pure
+host-side logic — no TPU needed)."""
+
+import jax
+import pytest
+
+from snsde.models.neuralcde import FinalTanh, GRUODEField, _fused_cde_pays
+from snsde.models.rnn import _fused_rnn_enabled
+
+
+@pytest.fixture
+def fake_tpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def _field(C, H):
+    return FinalTanh.create(jax.random.PRNGKey(0), C, H, H, 1)
+
+
+def test_cde_gate_c_threshold(monkeypatch):
+    monkeypatch.delenv("SNSDE_FUSED_CDE_MAX_C", raising=False)
+    assert _fused_cde_pays(_field(6, 32))
+    assert _fused_cde_pays(_field(12, 32))
+    assert not _fused_cde_pays(_field(20, 32))
+    assert not _fused_cde_pays(_field(35, 32))
+    monkeypatch.setenv("SNSDE_FUSED_CDE_MAX_C", "0")
+    assert _fused_cde_pays(_field(35, 32))
+
+
+def test_gruode_gate_opt_in(monkeypatch):
+    fld = GRUODEField.create(jax.random.PRNGKey(0), 6, 32)
+    monkeypatch.delenv("SNSDE_FUSED_GRUODE", raising=False)
+    assert not _fused_cde_pays(fld)
+    monkeypatch.setenv("SNSDE_FUSED_GRUODE", "1")
+    assert _fused_cde_pays(fld)
+
+
+def test_rnn_gate_h_threshold(monkeypatch, fake_tpu):
+    monkeypatch.delenv("SNSDE_FUSED_RNN_MIN_H", raising=False)
+    monkeypatch.delenv("SNSDE_NO_FUSED", raising=False)
+    assert _fused_rnn_enabled(128)
+    assert _fused_rnn_enabled(64)
+    assert not _fused_rnn_enabled(32)
+    assert _fused_rnn_enabled(None)          # no-width callers unchanged
+    monkeypatch.setenv("SNSDE_FUSED_RNN_MIN_H", "0")
+    assert _fused_rnn_enabled(32)
+    monkeypatch.setenv("SNSDE_NO_FUSED", "1")
+    assert not _fused_rnn_enabled(128)
+
+
+def test_rnn_gate_off_tpu():
+    # on the CPU test backend the fused RNN path never dispatches
+    assert not _fused_rnn_enabled(128)

@@ -59,6 +59,18 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
         def loss_fn(m, coeffs, y, key):
             out, _ = m(coeffs)
             return bce_with_logits(out[:, -1, 0], y), m
+    elif field == "plstm":
+        # time-aware LSTM family representative (PLSTM -> fused LSTM
+        # kernel with the per-step sel stream)
+        from snsde.models.time_rnn import PLSTM
+
+        model = PLSTM.create(jax.random.fold_in(key, 1), C, H)
+        coeffs = jnp.asarray(Xa)
+        tstamps = jnp.broadcast_to(jnp.asarray(times)[None, :], (B, L))
+
+        def loss_fn(m, coeffs, y, key):
+            out, _ = m(coeffs, tstamps)
+            return bce_with_logits(out[:, -1, 0], y), m
     elif field == "latent":
         model = LatentSDE.create(jax.random.fold_in(key, 1), C, H, H,
                                  layers, method=method)
@@ -116,8 +128,9 @@ def bench_one(name, method, B, L, C, H, layers=2, iters=30,
     if not bool(jnp.isfinite(losses).all()):
         raise FloatingPointError(
             f"non-finite training losses: {np.asarray(losses)[:8]} ...")
-    # plain RNNs run L recurrence steps; the solvers take L-1 grid steps
-    steps = L if field in ("gru", "lstm") else L - 1
+    # plain/time-aware RNNs run L recurrence steps; the solvers take L-1
+    # grid steps
+    steps = L if field in ("gru", "lstm", "plstm") else L - 1
     return {"train_step_ms": round(dt / iters * 1e3, 3),
             "sample_steps_per_sec": round(iters * steps * B / dt, 1),
             "sample_steps_iqr": [
@@ -150,6 +163,15 @@ CONFIGS = {
                       field="lstm"),
     "latent_h64": dict(method="euler", B=1024, L=72, C=6, H=64,
                        field="latent"),
+    # crossover refinement: C between the 12 (wins) / 20 (loses) CDE
+    # anchors; H=64 between the 32 (loses) / 128 (wins) RNN anchors
+    "cde_c16": dict(method="rk4", B=1024, L=72, C=16, H=32),
+    "gru_h64": dict(method="-", B=1024, L=72, C=6, H=64, field="gru"),
+    "lstm_h64": dict(method="-", B=1024, L=72, C=6, H=64, field="lstm"),
+    # time-aware LSTM family representative (PLSTM, fused sel stream)
+    "plstm": dict(method="-", B=1024, L=72, C=6, H=32, field="plstm"),
+    "plstm_h128": dict(method="-", B=1024, L=72, C=6, H=128,
+                       field="plstm"),
 }
 
 
@@ -165,6 +187,14 @@ def main():
     # speed with fidelity; this arm is the at-reference-fidelity baseline.
     ap.add_argument("--exact-scan-arm", action="store_true")
     args = ap.parse_args()
+
+    # this tool measures KERNEL vs scan, so the fused arm forces the
+    # measured dispatch-policy gates open (the gates themselves were set
+    # FROM these measurements); explicit user env still wins
+    os.environ.setdefault("SNSDE_FUSED_CDE_MAX_C", "0")
+    os.environ.setdefault("SNSDE_FUSED_GRUODE", "1")
+    os.environ.setdefault("SNSDE_FUSED_LATENT", "1")
+    os.environ.setdefault("SNSDE_FUSED_RNN_MIN_H", "0")
 
     records = {}
     if os.path.exists(args.out):

@@ -32,9 +32,11 @@ if [ -n "$PREV_PID" ]; then
 fi
 
 run flagship_sepsis_r4c  P python tools/run_flagship_sepsis.py
+# gruode_rk4 re-runs here to validate the round-4 exact-dot pin on
+# hardware (both arms previously NaN'd: BENCH_CDE_X3.json)
 run gate_sweep P env SNSDE_FUSED_MATMUL=bf16x3 python tools/bench_cde.py \
-    --iters 30 --only cde_c12 cde_c20 cde_c6_h64 gru_h128 lstm_h128 latent_h64 \
-    --out BENCH_GATE.json
+    --iters 30 --only cde_c12 cde_c20 cde_c6_h64 gru_h128 lstm_h128 \
+    latent_h64 gruode_rk4 --out BENCH_GATE.json
 # library-default config (exact f32, merge now ON) — the dirty
 # BENCH_SHAPES.json headline rows predate the merge flip, so re-run all
 run bench_shapes_r4c P python tools/bench_shapes.py
