@@ -38,7 +38,7 @@ def _fused_cde_pays(func):
     (round-4 v5e gate sweep, BENCH_GATE.json + BENCH_CDE_X3.json): the
     kernel's one-hot MXU expand/reduce contraction scales with the input
     width C, so fused wins at C <= 12 (1.07-1.33x vs scan) and loses by
-    C = 20 (0.69x; C=35 sepsis 0.49x) — dispatch gates at
+    C = 16 (0.78x; C=20 0.69x; C=35 sepsis 0.49x) — dispatch gates at
     C <= SNSDE_FUSED_CDE_MAX_C (default 12; 0 disables the gate). The
     GRU-ODE field kind loses at every measured shape (0.88x rk4) and is
     opt-in via SNSDE_FUSED_GRUODE=1. The lane-PACKED multi-model path

@@ -34,9 +34,11 @@ def _fused_rnn_enabled(hidden=None):
 
     `hidden` adds the measured perf gate: the fused GRU/LSTM kernels only
     beat the XLA scan path once the hidden width reaches MXU-tile scale
-    (round-4 v5e gate sweep, BENCH_GATE.json: H=128 wins 1.28x GRU /
-    1.13x LSTM; H=32 loses 0.58x / 0.54x). Dispatch defaults to fused at
-    H >= SNSDE_FUSED_RNN_MIN_H (default 64); set it to 0 to force the
+    (round-4 v5e gate sweeps, BENCH_GATE.json + BENCH_GATE2.json: H=128
+    wins 1.28x GRU / 1.13x LSTM / 1.29x PLSTM; H=64 loses 0.76x GRU /
+    0.67x LSTM; H=32 loses 0.51-0.58x). Dispatch defaults to fused at
+    H >= SNSDE_FUSED_RNN_MIN_H (default 128 — the only measured winning
+    width; the crossover lies in (64, 128)); set it to 0 to force the
     kernel at any width (parity tests call the kernels directly and are
     unaffected)."""
     import os
@@ -45,7 +47,7 @@ def _fused_rnn_enabled(hidden=None):
             or os.environ.get("SNSDE_NO_FUSED", "0") == "1"):
         return False
     if hidden is not None:
-        min_h = int(os.environ.get("SNSDE_FUSED_RNN_MIN_H", "64"))
+        min_h = int(os.environ.get("SNSDE_FUSED_RNN_MIN_H", "128"))
         if hidden < min_h:
             return False
     return True

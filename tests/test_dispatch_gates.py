@@ -44,7 +44,8 @@ def test_rnn_gate_h_threshold(monkeypatch, fake_tpu):
     monkeypatch.delenv("SNSDE_FUSED_RNN_MIN_H", raising=False)
     monkeypatch.delenv("SNSDE_NO_FUSED", raising=False)
     assert _fused_rnn_enabled(128)
-    assert _fused_rnn_enabled(64)
+    # H=64 measured LOSING (BENCH_GATE2.json: 0.76x GRU / 0.67x LSTM)
+    assert not _fused_rnn_enabled(64)
     assert not _fused_rnn_enabled(32)
     assert _fused_rnn_enabled(None)          # no-width callers unchanged
     monkeypatch.setenv("SNSDE_FUSED_RNN_MIN_H", "0")
