@@ -10,6 +10,8 @@ reference's workloads actually run:
   * latent_em  — LatentSDE (fused EM latent mode), sweep-like shape
   * gru / lstm — plain SeqRNN recurrences (fused GRU/LSTM kernels; the
                  solver `method` does not apply — recorded as '-')
+  * plstm      — time-aware LSTM representative (fused sel-stream kernel)
+  * *_h64 / cde_c16 — gate-crossover refinement shapes (BENCH_GATE2)
 
 Each config runs fused THEN scan in one process and reports the ratio.
 Writes BENCH_CDE.json. Usage:
