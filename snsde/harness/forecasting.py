@@ -224,7 +224,9 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
     best_val = np.inf
     best_train = np.inf
     best_train_epoch = 0
-    best_params = params
+    # full-model snapshot (weights + any buffers of the same epoch) —
+    # matches the reference's state_dict deepcopy restore
+    best_model = model
     lr = cfg.lr
     sched = ReduceLROnPlateau(lr=cfg.lr, mode="min",
                               patience=cfg.plateau_patience)
@@ -248,7 +250,7 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
             best_train_epoch = epoch
         if mses["val"] * 1.0001 < best_val:
             best_val = mses["val"]
-            best_params, _ = partition(model)
+            best_model = model
         if cfg.step_mode == "valloss":
             lr = sched.step(mses["val"])
         elif cfg.step_mode == "trainloss":
@@ -264,8 +266,7 @@ def run_mujoco(cfg: ForecastConfig = ForecastConfig(), n: int = 2048,
                 print("early stop: training-loss plateau", flush=True)
             break
 
-    _, rest = partition(model)
-    model = combine(best_params, rest)
+    model = best_model
     key, k1 = jax.random.split(key)
     final_test = evaluate(model, datasets["test"], k1)
     return {

@@ -218,7 +218,11 @@ def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
 
     sched = StepLRSched(lr=lr, step_size=10, gamma=0.5)
     rng = np.random.default_rng(0)
-    best_val, best_params, stale = -np.inf, params, 0
+    # snapshot the FULL model (weights AND BatchNorm running stats from
+    # the same epoch) — the reference deep-copies the state_dict
+    # (_model.py best-restore); JAX pytrees are immutable so keeping the
+    # reference is the deepcopy
+    best_val, best_model, stale = -np.inf, model, 0
     lr_val = lr
     for epoch in range(max_epochs):
         for batch, _ in iterate_batches(split_data["train"], batch_size,
@@ -233,14 +237,13 @@ def train_ists_model(key, model: ISTSClassifier, data: Dict, y: np.ndarray,
             print(f"  epoch {epoch}: val acc {val_m.accuracy:.3f}")
         if val_m.accuracy > best_val:
             best_val = val_m.accuracy
-            best_params, _ = partition(model)
+            best_model = model
             stale = 0
         else:
             stale += 1
             if stale >= patience:
                 break
-    _, rest = partition(model)
-    model = combine(best_params, rest)
+    model = best_model
     key, k1 = jax.random.split(key)
     return model, evaluate(model, split_data["test"], k1)
 
@@ -659,7 +662,9 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
     sched = StepLRSched(lr=1.0, step_size=10, gamma=0.5)
     rngs = [np.random.default_rng(k) for k in range(K)]
     best_val = np.full(K, -np.inf)
-    best_params = [cls.member_subtree(params0, k) for k in range(K)]
+    # per-member FULL-state snapshots (weights + BN running stats of the
+    # same epoch — see train_ists_model's best-restore note)
+    best_members = list(model.members)
     stale = np.zeros(K, int)
     active = np.ones(K, np.float32)
     terminated = np.zeros(K, bool)
@@ -674,13 +679,12 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
         decay = sched.step()
         key, k1 = jax.random.split(key)
         val_ms = evaluate(model, 1, k1)
-        params_now, _ = partition(model)
         for k in range(K):
             if terminated[k]:
                 continue
             if val_ms[k].accuracy > best_val[k]:
                 best_val[k] = val_ms[k].accuracy
-                best_params[k] = cls.member_subtree(params_now, k)
+                best_members[k] = model.members[k]
                 stale[k] = 0
             else:
                 stale[k] += 1
@@ -692,9 +696,6 @@ def train_ists_ensemble(key, model: ISTSSeedEnsembleSDE, datas, y,
             print(f"  epoch {epoch}: val acc [{accs}]", flush=True)
         if terminated.all():
             break
-    params_now, rest = partition(model)
-    for k in range(K):
-        params_now = cls.replace_member(params_now, k, best_params[k])
-    model = combine(params_now, rest)
+    model = model.replace(members=tuple(best_members))
     key, k1 = jax.random.split(key)
     return model, evaluate(model, 2, k1)

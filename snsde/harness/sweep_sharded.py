@@ -266,9 +266,10 @@ def train_ists_cells_sharded(
                       for _, s in cells_p])
     sched = StepLRSched(lr=lr, step_size=10, gamma=0.5)
     lr_val = lr
-    params0, _ = partition(m_stk)
     best_val = np.full(D, -np.inf)
-    best_params = [extract_cell(params0, c) for c in range(D)]
+    # per-cell FULL-state snapshots (weights + BatchNorm running stats of
+    # the same epoch), matching the sequential trainer's best-restore
+    best_cells = [extract_cell(m_stk, c) for c in range(D)]
     stale = np.zeros(D, int)
     active = np.ones(D, np.float32)
     terminated = np.zeros(D, bool)
@@ -298,7 +299,6 @@ def train_ists_cells_sharded(
                                       vkeys)
         val_ms = _metrics(logits, losses, [g for g, _ in va_grid], nv_va,
                           D)
-        params_now, _ = partition(m_stk)
         nk2 = np.asarray(nk2)
         for c in range(D):
             if terminated[c]:
@@ -306,7 +306,7 @@ def train_ists_cells_sharded(
             hkeys[c] = nk2[c]  # advance the chain only while active
             if val_ms[c].accuracy > best_val[c]:
                 best_val[c] = val_ms[c].accuracy
-                best_params[c] = extract_cell(params_now, c)
+                best_cells[c] = extract_cell(m_stk, c)
                 stale[c] = 0
             else:
                 stale[c] += 1
@@ -323,10 +323,9 @@ def train_ists_cells_sharded(
         if not terminated[c]:
             term_keys[c] = hkeys[c]
 
-    # best-model restore (trainable leaves; buffers keep final state,
-    # as in the sequential trainer)
-    _, rest_stk = partition(m_stk)
-    m_stk = combine(_stack_trees(best_params), rest_stk)
+    # best-model restore: full per-cell state (the sequential trainer
+    # restores weights AND BatchNorm buffers from the best epoch)
+    m_stk = _stack_trees(best_cells)
 
     te_grid = [_eval_grid(sp[2], batch_size) for sp in splits]
     nv_te = te_grid[0][1]

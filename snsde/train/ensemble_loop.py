@@ -250,7 +250,11 @@ def fit_classifier_ensemble(
     active = np.ones(K, np.float32)
 
     best_val_acc = np.full(K, -np.inf)
-    best_params = [cls.member_subtree(params0, k) for k in range(K)]
+    # per-member FULL-state snapshots (weights + BatchNorm running stats
+    # of the same epoch — the reference deep-copies the state_dict);
+    # member_subtree works on any same-structured tree, so applying it to
+    # the whole model captures the buffers too
+    best_members = [cls.member_subtree(model, k) for k in range(K)]
     best_train_loss = np.full(K, np.inf)
     best_train_acc = np.full(K, -np.inf)
     best_tl_epoch = np.zeros(K, int)
@@ -274,7 +278,6 @@ def fit_classifier_ensemble(
         key, k1, k2 = jax.random.split(key, 3)
         train_ms = evaluate(model, train_data, k1)
         val_ms = evaluate(model, val_data, k2)
-        params_now, _ = partition(model)
 
         for k in range(K):
             if terminated[k]:
@@ -289,7 +292,7 @@ def fit_classifier_ensemble(
                 best_ta_epoch[k] = epoch
             if vm.accuracy > best_val_acc[k]:
                 best_val_acc[k] = vm.accuracy
-                best_params[k] = cls.member_subtree(params_now, k)
+                best_members[k] = cls.member_subtree(model, k)
             metric = {
                 "trainloss": tm.loss,
                 "valloss": vm.loss,
@@ -318,11 +321,9 @@ def fit_classifier_ensemble(
 
     wall = time.time() - t_start
 
-    # restore each member's best snapshot into the shared ensemble
-    params_now, rest = partition(model)
+    # restore each member's best FULL snapshot into the shared ensemble
     for k in range(K):
-        params_now = cls.replace_member(params_now, k, best_params[k])
-    model = combine(params_now, rest)
+        model = cls.replace_member(model, k, best_members[k])
 
     key, k1, k2, k3 = jax.random.split(key, 4)
     train_ms = evaluate(model, train_data, k1)

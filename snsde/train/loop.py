@@ -441,7 +441,14 @@ def fit_classifier(
     lr = cfg.lr
 
     best_val_acc = -np.inf
-    best_params = params0
+    # best-model snapshot keeps BOTH partitions: the trainable weights AND
+    # the non-trainable buffers (BatchNorm running stats) from the same
+    # epoch — the reference deep-copies the full state_dict
+    # (benchmark_classification/common_sde.py), and pairing best weights
+    # with final-epoch BN stats measurably corrupts multiclass accuracy
+    # (speech flagship: restored-model val 0.18 vs in-loop best 0.42
+    # before this fix).
+    best_state = partition(model)
     best_train_loss = np.inf
     best_train_acc = -np.inf
     best_train_loss_epoch = 0
@@ -483,7 +490,7 @@ def fit_classifier(
             best_train_acc_epoch = epoch
         if val_m.accuracy > best_val_acc:
             best_val_acc = val_m.accuracy
-            best_params, _ = partition(model)
+            best_state = partition(model)
 
         metric = {
             "trainloss": train_m.loss,
@@ -521,8 +528,7 @@ def fit_classifier(
 
     wall = time.time() - t_start
     mem.__exit__(None, None, None)
-    _, rest = partition(model)
-    model = combine(best_params, rest)
+    model = combine(*best_state)
 
     key, k1, k2, k3 = jax.random.split(key, 4)
     train_m = evaluate(model, train_data, k1)

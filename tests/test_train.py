@@ -262,3 +262,63 @@ def test_fit_trains_on_nondivisible_dataset():
                              cfg)
         assert res.train_metrics.accuracy > 0.9, (
             f"coupled={coupled}: {res.train_metrics.accuracy}")
+
+
+def test_best_restore_is_state_consistent():
+    """The restored best model must reproduce its recorded in-loop val
+    metrics exactly: the snapshot keeps weights AND BatchNorm running
+    stats from the same epoch (the reference deep-copies the full
+    state_dict, common_sde.py:178-181). The pre-round-4 code combined
+    best weights with FINAL-epoch BN stats, which skewed final metrics
+    whenever the best epoch was not the last. Uses a deterministic
+    BN+Linear model so eval carries no SDE sampling noise."""
+    import jax.numpy as jnp
+
+    from snsde.nn import Module, module
+    from snsde.nn.layers import BatchNorm, Linear
+    from snsde.train.loop import TrainConfig, fit_classifier
+
+    @module
+    class BNClassifier(Module):
+        bn: BatchNorm
+        linear: Linear
+
+        def __call__(self, x, *, train=False):
+            h, bn = self.bn(x, train=train)
+            return self.linear(h), self.replace(bn=bn)
+
+    rng = np.random.default_rng(0)
+    n, d = 256, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    # drifting feature scale so BN stats move substantially across epochs
+    y = (X[:, 0] + 0.3 * rng.normal(size=n) > 0).astype(np.int64)
+    # shift + rescale so BN running stats need many EMA steps to converge
+    # from their (0, 1) init — early-epoch and final stats then differ
+    X *= 4.0
+    X += 3.0
+    data = {"x": X, "y": y}
+    tr = {k: v[:160] for k, v in data.items()}
+    va = {k: v[160:208] for k, v in data.items()}
+    te = {k: v[208:] for k, v in data.items()}
+
+    key = jax.random.PRNGKey(0)
+    model = BNClassifier(
+        bn=BatchNorm.create(d),
+        linear=Linear.create(key, d, 1),
+    )
+
+    def apply_fn(m, batch, key, train):
+        logits, new_m = m(batch["x"], train=train)
+        return logits[:, 0], new_m
+
+    # a divergent lr makes val accuracy peak at an EARLY epoch,
+    # while BN stats keep EMA-converging afterwards — the exact
+    # mismatch the old combine(best_params, final_rest) exposed
+    tc = TrainConfig(lr=3.0, batch_size=64, max_epochs=8, num_classes=2,
+                     step_mode="valaccuracy", seed=0)
+    res = fit_classifier(model, apply_fn, lambda m: m.linear, tr, va, te,
+                         tc)
+    best_in_loop = max(h["val"]["accuracy"] for h in res.history)
+    # deterministic eval (no dropout, BN running stats): the restored
+    # model must reproduce the best epoch's val accuracy exactly
+    assert res.val_metrics.accuracy == pytest.approx(best_in_loop, abs=0.0)

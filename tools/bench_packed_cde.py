@@ -94,7 +94,8 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    for name, C in (("uea_c5", 5), ("sepsis_c35", 35)):
+    for name, C in (("uea_c5", 5), ("c12", 12), ("c16", 16), ("c20", 20),
+                    ("c28", 28), ("sepsis_c35", 35)):
         r = bench_one(C, 32, 3, 256, 72, "rk4", args.iters, args.repeats)
         results[name] = r
         print(name, "packed/scan =", r["speedup"], flush=True)
