@@ -48,6 +48,24 @@ __all__ = ["fused_em_solve_packed", "fused_srk_solve_packed",
 MAX_PACKED_LANES = 512
 
 
+def packed_cde_pays(input_channels: int) -> bool:
+    """Measured perf gate for the lane-packed fused CDE paths (round-4
+    v5e crossover sweep, BENCH_PACKED_CDE.json, K=3 vs jax.vmap of the
+    scan cdeint): packed wins 3.2-3.6x at C=5 and 1.62x at C=12, breaks
+    even at C=16 (1.01x — kept fused: same speed at strictly higher
+    operand fidelity than the scan path's platform-default dots), and
+    loses by C=20 (0.94x; 0.44x at C=28, 0.38x at C=35). The one-hot
+    contraction's ~3x FLOPs overhead scales with C for packed members
+    exactly as for single models — packing amortizes the loop and weight
+    traffic, which moves the crossover from 12 to 16 but cannot remove
+    the C-scaling. Gate: C <= SNSDE_FUSED_CDE_PACKED_MAX_C (default 16;
+    0 disables the gate)."""
+    import os
+
+    max_c = int(os.environ.get("SNSDE_FUSED_CDE_PACKED_MAX_C", "16"))
+    return max_c <= 0 or input_channels <= max_c
+
+
 def _ns(**kw):
     return types.SimpleNamespace(**kw)
 
@@ -570,6 +588,19 @@ def route_vmapped_cde(func, path, times, z0, dt, method, stream_dtype):
                     or chp_p > 4096
                     or packed_sw > 512
                     or wide_bytes_p > _MAX_WOUT_BYTES)
+        if not packed_cde_pays(C) and not (nested or too_wide):
+            # measured perf gate (BENCH_PACKED_CDE.json): at wide C the
+            # packed kernel loses to the vmapped scan — route there
+            # QUIETLY (a policy choice, not a capability limit)
+            in_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, (fb, pb, zb)
+            )
+            out = jax.vmap(
+                lambda f, p, z: cdeint(p, f, z, times, dt=dt,
+                                       method=method),
+                in_axes=in_axes,
+            )(func_b, path_b, z0_b)
+            return out, True
         if nested or too_wide:
             warnings.warn(
                 ("nested vmap over a fused cde solve" if nested else

@@ -179,8 +179,12 @@ def packed_cde_solve(funcs, path, times, z0s, *, method="rk4", dt=None,
     )
     if use_packed:
         from ..kernels.fused_cde import is_batched, supports_fused_cde
-        from ..kernels.multi import fused_cde_solve_packed, pack_cde_fields
+        from ..kernels.multi import (fused_cde_solve_packed,
+                                     pack_cde_fields, packed_cde_pays)
 
+        if not packed_cde_pays(funcs[0].input_channels):
+            use_packed = False         # measured C gate (multi.py)
+    if use_packed:
         if not is_batched(funcs, z0s, paths):
             try:
                 packed = pack_cde_fields(list(funcs))

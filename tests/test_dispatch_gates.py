@@ -57,3 +57,17 @@ def test_rnn_gate_h_threshold(monkeypatch, fake_tpu):
 def test_rnn_gate_off_tpu():
     # on the CPU test backend the fused RNN path never dispatches
     assert not _fused_rnn_enabled(128)
+
+
+def test_packed_cde_gate_c_threshold(monkeypatch):
+    from snsde.kernels.multi import packed_cde_pays
+
+    monkeypatch.delenv("SNSDE_FUSED_CDE_PACKED_MAX_C", raising=False)
+    # BENCH_PACKED_CDE.json: 1.62x at C=12, 1.01x at C=16 (kept), 0.94x
+    # at C=20, 0.38-0.44x at C>=28
+    assert packed_cde_pays(5)
+    assert packed_cde_pays(16)
+    assert not packed_cde_pays(20)
+    assert not packed_cde_pays(35)
+    monkeypatch.setenv("SNSDE_FUSED_CDE_PACKED_MAX_C", "0")
+    assert packed_cde_pays(35)

@@ -326,6 +326,31 @@ def test_fused_cde_routed_vmap_too_wide_falls_back():
                                atol=1e-5)
 
 
+def test_fused_cde_routed_vmap_wide_c_gates_to_scan():
+    """The measured packed perf gate (BENCH_PACKED_CDE.json: packed
+    loses past C=16) routes wide-C routed vmaps onto the vmapped scan
+    QUIETLY — correct results, no fallback warning."""
+    import warnings as _w
+
+    from snsde.kernels.fused_cde import fused_cde_solve
+
+    path, times, z0 = _setting(C=20, H=5)
+    fields = [_make_field("final_tanh", 20, 5, 7, 1, key=i)
+              for i in range(2)]
+    stacked = _stack_fields(fields)
+    z0s = jnp.stack([z0, z0 + 0.1])
+    with _w.catch_warnings():
+        _w.simplefilter("error")        # the gate branch must NOT warn
+        out = jax.vmap(
+            lambda f, zi: fused_cde_solve(f, path, times, zi, dt=0.1,
+                                          method="rk4")
+        )(stacked, z0s)
+    for i, f in enumerate(fields):
+        ref = cdeint(path, f, z0s[i], times, dt=0.1, method="rk4")
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
+                                   atol=1e-5)
+
+
 def test_fused_cde_gruode_matches_scan():
     """The GRU-ODE vector field (continuous GRU gating, reference
     vector_fields.py GRU_ODE) through the fused kernel == scan cdeint,
