@@ -1012,7 +1012,11 @@ def _pick_block_cfg(cfg, B, Hp=LANE, bwd=False):
     cap = 1024
     if cfg["rng"]:
         cap = 512
-    if bwd and cfg["mm_bf16"] is not True:
+    if bwd:
+        # unconditional: the single-pass-bf16 exemption (no operand-split
+        # scratch) still OOM'd at the L=160 speech shape with f32 streams
+        # (round-4 h_speech_bf16.log: 20.50M > 16M — the [L,*] residual
+        # streams scale with L and dominate the scratch question)
         cap = min(cap, 512)
     return _pick_block(B, Hp, cap_rows=cap)
 

@@ -425,9 +425,11 @@ def test_backward_block_caps():
     # operand-split scratch (16.52M @ L=160, round-4 bench_shapes_r2.log)
     cfg_b = _config(4, 17, False, False, 49, True)
     assert _pick_block_cfg(cfg_b, 1024, 128, bwd=True) == 512
-    # single-pass bf16 matmuls have no operand-split scratch: 1024 stays
+    # single-pass bf16 matmuls ALSO cap at 512: no operand-split scratch,
+    # but the [L,*] residual streams still overflowed at L=160 with f32
+    # streams (20.50M > 16M, round-4 h_speech_bf16.log)
     cfg_mm = _config(4, 17, True, False, 49, True)
-    assert _pick_block_cfg(cfg_mm, 1024, 128, bwd=True) == 1024
+    assert _pick_block_cfg(cfg_mm, 1024, 128, bwd=True) == 512
     # SRK: exact/x3 backward drops a notch; bf16 keeps the 512 optimum
     assert srk_pick(1024, 128) == 512
     assert srk_pick(1024, 128, bwd=True, mm=False) == 256

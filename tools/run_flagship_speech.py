@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--hidden", type=int, default=49)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model init + training noise; the dataset draw "
+                         "and split stay pinned to data_seed=0")
     ap.add_argument("--out", default="RESULTS_speech_r4.json")
     args = ap.parse_args()
 
@@ -39,7 +42,8 @@ def main():
         num_hidden_layers=2,
         batch_size=args.batch,
         max_epochs=args.epochs,
-        seed=0,
+        seed=args.seed,
+        data_seed=0,
     )
     t0 = time.time()
     res = run_speech(cfg, n=args.n)
@@ -48,6 +52,7 @@ def main():
     rec = {
         "model": "neurallnsde", "H": args.hidden, "layers": 2,
         "batch": args.batch, "n": args.n, "epochs": args.epochs,
+        "seed": args.seed,
         "test_accuracy": round(float(m.accuracy), 4),
         "test_f1_weighted": round(float(m.f1_weighted), 4),
         "val_accuracy": round(float(res.val_metrics.accuracy), 4),
