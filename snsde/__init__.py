@@ -34,6 +34,22 @@ if _os.environ.get("SNSDE_PRNG", "rbg") == "rbg":
     except Exception:  # pragma: no cover - older jax
         pass
 
+# Library-wide matmul precision policy (VERDICT r4 item 2): the torch
+# reference computes exact f32 throughout (TF32 off), but Mosaic/XLA on TPU
+# round jnp.dot operands to bf16 at DEFAULT precision — measured max abs
+# error 1.3e-1 (tools/probe_precision.py), NCDE accuracy −5 rank points and
+# GRU-ODE NaNs in round 4. The fused Pallas kernels pin their in-kernel dots
+# explicitly (kernels/fused_em.py:_dot, precision=HIGHEST); this makes every
+# SCAN-path dot/einsum (ops/solve.py, cdeint, RNN scans, latent) match, so
+# which side of a dispatch gate a model lands on no longer changes its
+# numeric fidelity. Escape hatch for speed A/Bs:
+#   SNSDE_MATMUL_PRECISION=platform  -> leave the platform default (bf16 on
+#                                       TPU), the pre-round-5 scan regime
+#   SNSDE_MATMUL_PRECISION=<name>    -> any jax precision name (high, ...)
+_prec = _os.environ.get("SNSDE_MATMUL_PRECISION", "highest")
+if _prec not in ("platform", ""):
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 # Persistent compilation cache — OPT-IN via SNSDE_COMPILE_CACHE=<dir>
 # (or =1 for ~/.cache/snsde/jax). Not enabled by default: on this
 # runtime a warm rerun of the heavyweight Mosaic kernels was not

@@ -155,6 +155,22 @@ def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int,
         yield {k: v[sel] for k, v in arrays.items()}, n_valid
 
 
+def _subtree_norms(model, depth: int = 2) -> Dict[str, float]:
+    """L2 norms of the trainable parameters aggregated by the first `depth`
+    path components of the model tree (divergence triage: which component's
+    weights are exploding)."""
+    params, _ = partition(model)
+    acc: Dict[str, float] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if leaf is None:
+            continue
+        name = jax.tree_util.keystr(path[:depth]).lstrip(".")
+        acc[name] = acc.get(name, 0.0) + float(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        )
+    return {k: float(np.sqrt(v)) for k, v in acc.items()}
+
+
 # ---------------------------------------------------------------------------
 # Config + fit loop
 # ---------------------------------------------------------------------------
@@ -182,6 +198,9 @@ class TrainConfig:
     eval_batch_size: Optional[int] = None
     seed: int = 0
     verbose: bool = True
+    # Diagnostic: record per-epoch max gradient norm (scan path) and
+    # per-subtree parameter norms into history (for divergence triage).
+    track_norms: bool = False
     # epoch-in-jit: scan all batches of an epoch inside one compiled call
     # (eliminates per-step host dispatch; ~2x on the remote TPU runtime).
     scan_epoch: bool = True
@@ -340,12 +359,12 @@ def fit_classifier(
             p, rest = partition(new_m)
             updates, os2 = tx.update(grads, os_, p)
             return (combine(optax.apply_updates(p, updates), rest), os2), \
-                loss
+                (loss, optax.global_norm(grads))
 
-        (m, opt_state), losses = jax.lax.scan(
+        (m, opt_state), (losses, gnorms) = jax.lax.scan(
             body, (m, opt_state), (perm, masks, keys)
         )
-        return m, opt_state, losses
+        return m, opt_state, losses, gnorms
 
     def run_epoch_scanned(m, opt_state, rng, key, lr):
         idx = rng.permutation(n_train)
@@ -357,10 +376,10 @@ def fit_classifier(
         perm = idx.reshape(nb_train, cfg.batch_size).astype(np.int32)
         masks = mask.reshape(nb_train, cfg.batch_size)
         keys = jax.random.split(key, nb_train)
-        m, opt_state, losses = epoch_step(m, opt_state, device_train,
-                                          perm, masks, keys,
-                                          jnp.asarray(lr))
-        return m, opt_state, nb_train
+        m, opt_state, losses, gnorms = epoch_step(m, opt_state, device_train,
+                                                  perm, masks, keys,
+                                                  jnp.asarray(lr))
+        return m, opt_state, nb_train, gnorms
 
     # Evaluation mirrors the device-resident training epoch: every eval
     # set is uploaded ONCE and per-epoch evaluation ships only an
@@ -458,10 +477,11 @@ def fit_classifier(
     t_start = time.time()
 
     for epoch in range(cfg.max_epochs):
+        epoch_gnorms = None
         if cfg.scan_epoch:
             key, sub = jax.random.split(key)
-            model, opt_state, nb = run_epoch_scanned(model, opt_state, rng,
-                                                     sub, lr)
+            model, opt_state, nb, epoch_gnorms = run_epoch_scanned(
+                model, opt_state, rng, sub, lr)
             n_steps += nb
         else:
             for batch, n_valid in iterate_batches(train_data,
@@ -501,10 +521,15 @@ def fit_classifier(
         if metric is not None:
             lr = sched.step(metric)
 
-        history.append(
-            {"epoch": epoch, "lr": lr, "train": train_m.as_dict(),
-             "val": val_m.as_dict()}
-        )
+        rec = {"epoch": epoch, "lr": lr, "train": train_m.as_dict(),
+               "val": val_m.as_dict()}
+        if cfg.track_norms:
+            if epoch_gnorms is not None:
+                g = np.asarray(epoch_gnorms)
+                rec["grad_norm_max"] = float(g.max())
+                rec["grad_norm_mean"] = float(g.mean())
+            rec["param_norms"] = _subtree_norms(model)
+        history.append(rec)
         if cfg.verbose:
             extra = (
                 f" train_auc {train_m.auroc:.3f} val_auc {val_m.auroc:.3f}"

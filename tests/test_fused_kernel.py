@@ -385,6 +385,55 @@ def test_fused_gru_matches_scan_tpu():
 
 
 @requires_tpu
+def test_library_default_scan_parity_gated_shapes():
+    """VERDICT r4 item 2: at the LIBRARY default (no explicit precision
+    context), the scan paths the dispatch gates route to (C=20 CDE, H=32
+    GRU) must match the fused kernels' pinned-HIGHEST numerics — i.e. the
+    package-level jax_default_matmul_precision="highest" pin reaches the
+    scan solvers on TPU. Pre-pin, the platform-default bf16-rounded dots
+    diverge by ~1e-1 per dot (tools/probe_precision.py)."""
+    import snsde  # noqa: F401  (applies the package precision pin)
+    from snsde.kernels.fused_cde import fused_cde_solve, supports_fused_cde
+    from snsde.kernels.fused_rnn import fused_gru_scan
+    from snsde.models.neuralcde import FinalTanh
+    from snsde.nn.layers import GRUCell
+    from snsde.ops.interp import CubicPath, hermite_cubic_coeffs
+    from snsde.ops.solve import cdeint
+
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+    # C=20 > SNSDE_FUSED_CDE_MAX_C=12: dispatch would route to scan.
+    rng = np.random.default_rng(4)
+    B, L, C, H = 64, 10, 20, 33
+    times = np.arange(L, dtype=np.float32)
+    X = rng.normal(size=(B, L, C)).astype(np.float32)
+    path = CubicPath(hermite_cubic_coeffs(jnp.asarray(times),
+                                          jnp.asarray(X)), times)
+    func = FinalTanh.create(jax.random.PRNGKey(5), C, H, H, 2)
+    assert supports_fused_cde(func, "euler")
+    z0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    zs_scan = cdeint(path, func, z0, times, dt=0.5, method="euler")
+    zs_fused = fused_cde_solve(func, path, times, z0, dt=0.5,
+                               method="euler")
+    np.testing.assert_allclose(np.asarray(zs_scan), np.asarray(zs_fused),
+                               atol=5e-3)
+
+    # H=32 < SNSDE_FUSED_RNN_MIN_H=128: dispatch would route to scan.
+    L, B, C, H = 19, 128, 5, 32
+    cell = GRUCell.create(jax.random.PRNGKey(6), C, H)
+    xs = jnp.asarray(rng.normal(size=(L, B, C)), jnp.float32)
+
+    def step(h, x):
+        h2 = cell(x, h)
+        return h2, h2
+
+    _, hs_scan = jax.lax.scan(step, jnp.zeros((B, H)), xs)
+    hs_fused = fused_gru_scan(cell, xs)
+    np.testing.assert_allclose(np.asarray(hs_scan), np.asarray(hs_fused),
+                               atol=5e-3)
+
+
+@requires_tpu
 def test_fused_lstm_matches_scan_tpu():
     from snsde.kernels.fused_rnn import fused_lstm_scan
     from snsde.nn.layers import LSTMCell
