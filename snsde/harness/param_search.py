@@ -21,7 +21,8 @@ import numpy as np
 
 from ..data.common import stratified_split
 from .robustness import (ISTSClassifier, ISTSSeedEnsembleSDE,
-                         preprocess_ists, train_ists_ensemble,
+                         coeff_family, preprocess_ists,
+                         train_ists_ensemble,
                          train_ists_model)
 
 __all__ = ["SearchSpace", "asha_search"]
@@ -64,7 +65,8 @@ def asha_search(model_name: str, X: np.ndarray, y: np.ndarray,
     for same-shape trials. Non-SDE models and singleton groups use the
     solo loop."""
     rng = np.random.default_rng(seed)
-    data = preprocess_ists(X, missing_rate=missing_rate)
+    data = preprocess_ists(X, missing_rate=missing_rate,
+                           interpolation=coeff_family(model_name))
     splits = stratified_split(y, seed=seed)
     num_classes = int(y.max()) + 1
 

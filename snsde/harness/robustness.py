@@ -40,8 +40,25 @@ from ..train.metrics import classification_metrics
 from ..train.schedule import StepLR as StepLRSched
 
 __all__ = ["ISTSClassifier", "ISTSSeedEnsembleSDE", "predict_ists",
-           "preprocess_ists", "run_robustness_sweep", "make_fixed_splits",
+           "coeff_family", "preprocess_ists", "run_robustness_sweep",
+           "make_fixed_splits",
            "train_ists_model", "train_ists_ensemble"]
+
+
+def coeff_family(model_name: str) -> str:
+    """Coefficient family a registry model consumes, per the reference's
+    harness- and name-level semantics (torch-ists/model_run.py:127-130:
+    interpolate='natural' for the CDE/ODE-hybrid family, 'hermite'
+    otherwise; _layer.py:202-204: neuralcde->natural, -c->cubic,
+    -h->hermite — upstream those name variants are import-broken, this
+    implements the intended dispatch). 'cubic' is torchcde's natural cubic
+    spline — the same spline family as controldiffeq's 'natural', so both
+    map to natural_cubic_coeffs here; 'hermite' is the local
+    backward-difference Hermite spline."""
+    if model_name in ("gru-dt", "gru-d", "gru-ode", "ode-rnn", "ncde",
+                      "neuralcde", "neuralcde-c", "ancde", "exit"):
+        return "natural"
+    return "hermite"
 
 
 def preprocess_ists(X: np.ndarray, missing_rate: float = 0.0,
@@ -292,11 +309,12 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
     results = []
     data_cache: Dict = {}
 
-    def _data(rate, seed):
-        k = (rate, seed)
+    def _data(rate, seed, family="hermite"):
+        k = (rate, seed, family)
         if k not in data_cache:
             data_cache[k] = preprocess_ists(X, missing_rate=rate,
-                                            seed=seed)
+                                            seed=seed,
+                                            interpolation=family)
         return data_cache[k]
 
     def _write(rec, out_path):
@@ -330,7 +348,8 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                 t0 = time.time()
                 written = set()
                 try:
-                    datas = [_data(rate, s) for s in seeds]
+                    datas = [_data(rate, s, coeff_family(model_name))
+                             for s in seeds]
                     splits_list = [stratified_split(y, seed=s)
                                    for s in seeds]
                     model = ISTSSeedEnsembleSDE.create(
@@ -385,7 +404,7 @@ def run_robustness_sweep(cfg: SweepConfig = SweepConfig(), n: int = 256,
                 splits = stratified_split(y, seed=seed)
                 t0 = time.time()
                 try:
-                    data = _data(rate, seed)
+                    data = _data(rate, seed, coeff_family(model_name))
                     model = ISTSClassifier.create(
                         key, model_name, X.shape[-1], X.shape[1],
                         cfg.hidden_dim, int(y.max()) + 1,

@@ -43,7 +43,8 @@ from ..parallel.mesh import make_mesh
 from ..train.loop import readout_grad_hook, softmax_cross_entropy
 from ..train.metrics import classification_metrics
 from ..train.schedule import StepLR as StepLRSched
-from .robustness import ISTSClassifier, predict_ists, preprocess_ists
+from .robustness import (ISTSClassifier, coeff_family, predict_ists,
+                         preprocess_ists)
 
 __all__ = ["train_ists_cells_sharded", "run_robustness_sweep_sharded",
            "extract_cell"]
@@ -95,7 +96,7 @@ def train_ists_cells_sharded(
     patience: int = 10,
     kl_weight: float = 1e-4,
     method: Optional[str] = None,
-    interpolation: str = "hermite",
+    interpolation: Optional[str] = None,
     verbose: bool = False,
     datas: Optional[List[Dict]] = None,
 ):
@@ -130,7 +131,9 @@ def train_ists_cells_sharded(
         for r, s in cells_p:
             if (r, s) not in cache:
                 cache[(r, s)] = preprocess_ists(
-                    X, missing_rate=r, seed=s, interpolation=interpolation)
+                    X, missing_rate=r, seed=s,
+                    interpolation=interpolation
+                    or coeff_family(model_name))
             datas.append(cache[(r, s)])
     else:
         datas = list(datas) + [datas[-1]] * (D - real)

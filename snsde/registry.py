@@ -387,8 +387,13 @@ def make_seq_layer(key, model_name: str, input_dim: int, seq_len: int,
         inner = NeuralCDEStream.create(k2, field, coeff_dim, hidden_dim,
                                        hidden_dim)
     elif name.startswith("neuralcde"):
-        control = {"": "cubic", "-l": "linear", "-r": "linear",
-                   "-c": "cubic", "-h": "cubic"}[name[9:]]
+        # reference _layer.py:202-204 name->control-family intent:
+        # neuralcde->natural, -c->cubic (torchcde natural cubic — the same
+        # spline family, packed identically), -h->hermite. The harness
+        # builds the matching coefficients (harness/robustness.py:
+        # coeff_family); natural/cubic/hermite all evaluate via CubicPath.
+        control = {"": "natural", "-l": "linear", "-r": "linear",
+                   "-c": "cubic", "-h": "hermite"}[name[9:]]
         field = FinalTanh.create(k1, coeff_dim, hidden_dim, hh,
                                  num_hidden_layers)
         inner = NeuralCDEStream.create(k2, field, coeff_dim, hidden_dim,

@@ -171,6 +171,23 @@ def _subtree_norms(model, depth: int = 2) -> Dict[str, float]:
     return {k: float(np.sqrt(v)) for k, v in acc.items()}
 
 
+def _buffer_norms(model, depth: int = 2) -> Dict[str, float]:
+    """Like _subtree_norms but over the NON-trainable partition (BatchNorm
+    running statistics) — eval-mode divergence with flat param norms points
+    at stale/corrupted running stats."""
+    _, rest = partition(model)
+    acc: Dict[str, float] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(rest)[0]:
+        if not isinstance(leaf, (jnp.ndarray, np.ndarray)) or \
+                not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            continue
+        name = jax.tree_util.keystr(path[:depth]).lstrip(".")
+        acc[name] = acc.get(name, 0.0) + float(
+            jnp.sum(jnp.square(jnp.asarray(leaf, jnp.float32)))
+        )
+    return {k: float(np.sqrt(v)) for k, v in acc.items()}
+
+
 # ---------------------------------------------------------------------------
 # Config + fit loop
 # ---------------------------------------------------------------------------
@@ -379,7 +396,7 @@ def fit_classifier(
         m, opt_state, losses, gnorms = epoch_step(m, opt_state, device_train,
                                                   perm, masks, keys,
                                                   jnp.asarray(lr))
-        return m, opt_state, nb_train, gnorms
+        return m, opt_state, nb_train, (losses, gnorms)
 
     # Evaluation mirrors the device-resident training epoch: every eval
     # set is uploaded ONCE and per-epoch evaluation ships only an
@@ -477,11 +494,11 @@ def fit_classifier(
     t_start = time.time()
 
     for epoch in range(cfg.max_epochs):
-        epoch_gnorms = None
+        epoch_gnorms = epoch_losses = None
         if cfg.scan_epoch:
             key, sub = jax.random.split(key)
-            model, opt_state, nb, epoch_gnorms = run_epoch_scanned(
-                model, opt_state, rng, sub, lr)
+            model, opt_state, nb, (epoch_losses, epoch_gnorms) = \
+                run_epoch_scanned(model, opt_state, rng, sub, lr)
             n_steps += nb
         else:
             for batch, n_valid in iterate_batches(train_data,
@@ -528,7 +545,11 @@ def fit_classifier(
                 g = np.asarray(epoch_gnorms)
                 rec["grad_norm_max"] = float(g.max())
                 rec["grad_norm_mean"] = float(g.mean())
+            if epoch_losses is not None:
+                rec["train_loss_inmode"] = float(
+                    np.asarray(epoch_losses).mean())
             rec["param_norms"] = _subtree_norms(model)
+            rec["buffer_norms"] = _buffer_norms(model)
         history.append(rec)
         if cfg.verbose:
             extra = (
