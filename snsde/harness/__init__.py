@@ -1,3 +1,4 @@
+from .activity import ActivityConfig, ActivityResult, run_activity
 from .classification import (
     HarnessConfig,
     InitialValueModel,
