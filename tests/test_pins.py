@@ -1,0 +1,60 @@
+"""Quality-regression pin checks (snsde/train/pins.py)."""
+
+import numpy as np
+import pytest
+
+from snsde.train.pins import FLAGSHIP_PINS, PinSpec, assert_pins, check_history
+
+
+def _hist(losses, accs):
+    return [{"epoch": i,
+             "train": {"loss": lo, "accuracy": a},
+             "val": {"loss": lo, "accuracy": a}}
+            for i, (lo, a) in enumerate(zip(losses, accs))]
+
+
+def test_pins_fail_on_r4_speech_divergence():
+    """The exact round-4 divergence shape (d_speech.log epochs 26-32:
+    1.44 -> 2.94 -> 4.9 -> 6.6 -> 8.3 -> 9.4, acc -> 0.10) must fail."""
+    losses = [2.3, 2.0, 1.8, 1.7, 1.6, 1.5, 1.44,
+              2.94, 4.90, 6.55, 8.27, 9.40]
+    accs = [0.1, 0.2, 0.3, 0.35, 0.4, 0.45, 0.50,
+            0.35, 0.12, 0.11, 0.10, 0.10]
+    res = check_history(_hist(losses, accs), FLAGSHIP_PINS["speech"])
+    assert not res["ok"]
+    assert any("climb" in v for v in res["violations"])
+    with pytest.raises(AssertionError, match="climb"):
+        assert_pins(_hist(losses, accs), "speech")
+
+
+def test_pins_pass_on_healthy_run():
+    losses = list(np.linspace(2.3, 0.4, 20))
+    accs = list(np.linspace(0.1, 0.92, 20))
+    res = check_history(_hist(losses, accs), FLAGSHIP_PINS["speech"])
+    assert res["ok"], res["violations"]
+    assert res["best_metric"] > 0.9
+
+
+def test_pins_catch_nonfinite_and_floor():
+    losses = [2.0, 1.5, float("nan"), 1.2]
+    accs = [0.1, 0.2, 0.25, 0.3]
+    res = check_history(_hist(losses, accs), FLAGSHIP_PINS["speech"])
+    assert not res["ok"]
+    assert any("non-finite" in v for v in res["violations"])
+    assert any("floor" in v for v in res["violations"])
+
+
+def test_pins_warmup_exempts_early_noise():
+    # big relative moves in the first epochs are normal
+    losses = [10.0, 35.0, 3.0, 2.0, 1.5, 1.2]
+    accs = [0.1, 0.1, 0.3, 0.5, 0.6, 0.7]
+    spec = PinSpec(metric="accuracy", floor=0.4, warmup=3)
+    assert check_history(_hist(losses, accs), spec)["ok"]
+
+
+def test_pins_flat_history_keys():
+    hist = [{"epoch": i, "train_loss": 2.0 - 0.1 * i,
+             "val_accuracy": 0.1 + 0.05 * i} for i in range(10)]
+    spec = PinSpec(metric="accuracy", floor=0.3)
+    res = check_history(hist, spec)
+    assert res["ok"], res["violations"]

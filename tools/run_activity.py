@@ -52,6 +52,12 @@ def main():
         "wall_time_min": round((time.time() - t0) / 60.0, 2),
         "parameters": res.parameters,
     }
+    from snsde.train.pins import FLAGSHIP_PINS, check_history
+    pin = check_history(res.history, FLAGSHIP_PINS["activity"])
+    rec["pins"] = pin
+    if not pin["ok"]:
+        print("QUALITY PINS FAILED:", *pin["violations"], sep="\n  ",
+              flush=True)
     print(json.dumps(rec, indent=1))
     with open(REPO / args.out, "w") as f:
         json.dump(rec, f, indent=1)

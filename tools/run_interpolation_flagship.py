@@ -110,6 +110,12 @@ def main():
             "final_kl": res["history"][-1].get("kl"),
             "wall_time_s": time.time() - t0,
         }
+        from snsde.train.pins import FLAGSHIP_PINS, check_history
+        pin = check_history(res["history"], FLAGSHIP_PINS["interpolation"])
+        rec["pins"] = pin
+        if not pin["ok"]:
+            print("QUALITY PINS FAILED:", *pin["violations"], sep="\n  ",
+                  flush=True)
         print(json.dumps(rec), flush=True)
         records.append(rec)
         with open(args.out, "w") as f:
