@@ -353,6 +353,66 @@ def run_sepsis_ensemble(cfg: HarnessConfig = HarnessConfig(),
     return results
 
 
+def run_speech_ensemble(cfg: HarnessConfig = HarnessConfig(),
+                        repeats: int = 5, n: int = 2048,
+                        data_fn: Callable = synthetic_speech,
+                        max_epochs: Optional[int] = None):
+    """The reference's 5-repeats speech workload
+    (speech_commands-sde.py:53-54: `for _ in range(5): run_all(...)` —
+    same data and split, fresh init + training noise per repeat) trained
+    as ONE lane-packed SeedEnsemble run. Returns one FitResult per
+    repeat (VERDICT r4 item 4: flagship claims as mean±std)."""
+    from ..models.ensemble import SeedEnsemble
+    from ..train.ensemble_loop import fit_classifier_ensemble
+
+    X, y, lengths, t = data_fn(n=n, seed=cfg.dseed)
+    data = preprocess_classification(
+        X, y, lengths, use_intensity=False, seed=cfg.dseed,
+        times=np.arange(X.shape[1], dtype=np.float32),
+    )
+    tr, va, te = data["train"], data["val"], data["test"]
+    io, no = parse_model_name(cfg.model_name)
+
+    def make_field(k):
+        return DiffusionField.create(
+            k, data["input_channels"], cfg.hidden_channels,
+            cfg.hidden_hidden_channels, cfg.num_hidden_layers,
+            input_option=io, noise_option=no,
+        )
+
+    model = SeedEnsemble.create(
+        jax.random.PRNGKey(cfg.seed), make_field, data["input_channels"],
+        cfg.hidden_channels, 10, repeats, method=cfg.method,
+    )
+    times = data["times"]
+
+    def apply_fn(m, batch, key, train):
+        return m(times, batch["coeffs"], batch["final_index"], key=key,
+                 train=train)                           # [K, B, 10]
+
+    # the 100x readout hook on the member's final linear
+    # (speech_commands-sde.py:33-34); member subtrees are SeedEnsembles
+    # with 1-tuples, so navigate readouts[0].linear2 explicitly
+    def member_hook(g):
+        head = g.readouts[0]
+        head = head.replace(linear2=jax.tree_util.tree_map(
+            lambda x: x * 100.0, head.linear2))
+        return g.replace(readouts=(head,))
+
+    tc = TrainConfig(
+        lr=cfg.lr, batch_size=cfg.batch_size,
+        max_epochs=max_epochs or cfg.max_epochs, num_classes=10,
+        step_mode="valaccuracy", seed=cfg.seed,
+    )
+    results = fit_classifier_ensemble(model, apply_fn, tr, va, te, tc,
+                                      member_grad_hook=member_hook)
+    if cfg.results_dir:
+        for res in results:
+            _save_results(cfg.results_dir,
+                          f"speech-{cfg.model_name}-packed", res)
+    return results
+
+
 def run_all(task: str = "sepsis", models=("staticsde", "naivesde",
             "neurallsde", "neurallnsde", "neuralgsde"),
             hidden_list=(16, 32, 64, 128), layer_list=(1, 2, 3, 4),

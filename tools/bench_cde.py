@@ -204,13 +204,22 @@ def main():
             records = json.load(f)
     for name in args.only:
         rec = {"name": name, **CONFIGS[name],
-               "matmul_mode": os.environ.get("SNSDE_FUSED_MATMUL",
-                                             "(default)")}
-        arms = [("fused", "0", None), ("scan", "1", None)]
-        if args.exact_scan_arm:
-            arms.append(("scan_exact", "1", "highest"))
-        for mode, env, prec in arms:
+               "scan_precision": "highest (library default, r5 pin)"}
+        # round-5 fidelity-matched arms (VERDICT r4 item 3): the package
+        # precision pin makes the scan path exact-f32 (HIGHEST) by
+        # default, so "scan" IS the at-fidelity baseline; the fused
+        # kernels are measured in both supported regimes against it.
+        #   fused    — exact-f32 in-kernel dots (library default)
+        #   fused_x3 — SNSDE_FUSED_MATMUL=bf16x3 (production training)
+        #   scan     — library-default scan (highest since round 5)
+        arms = [("fused", "0", None, "f32"),
+                ("fused_x3", "0", None, "bf16x3"),
+                ("scan", "1", None, "f32")]
+        if args.exact_scan_arm:   # kept for pre-r5 comparability
+            arms.append(("scan_exact", "1", "highest", "f32"))
+        for mode, env, prec, mm in arms:
             os.environ["SNSDE_NO_FUSED"] = env
+            os.environ["SNSDE_FUSED_MATMUL"] = mm
             print(f"=== {name} [{mode}] ===", flush=True)
             t0 = time.time()
             # one arm failing (VMEM OOM, divergence) must not lose the
@@ -233,11 +242,11 @@ def main():
         if "error" not in rec["fused"] and "error" not in rec["scan"]:
             rec["speedup"] = round(rec["scan"]["train_step_ms"]
                                    / rec["fused"]["train_step_ms"], 2)
-        if ("scan_exact" in rec and "error" not in rec["fused"]
-                and "error" not in rec["scan_exact"]):
-            rec["speedup_vs_exact"] = round(
-                rec["scan_exact"]["train_step_ms"]
-                / rec["fused"]["train_step_ms"], 2)
+        if ("fused_x3" in rec and "error" not in rec["fused_x3"]
+                and "error" not in rec["scan"]):
+            rec["speedup_x3"] = round(
+                rec["scan"]["train_step_ms"]
+                / rec["fused_x3"]["train_step_ms"], 2)
         records[name] = rec
         with open(args.out, "w") as f:
             json.dump(records, f, indent=2)
