@@ -29,8 +29,18 @@ def synthetic_person_activity(n: int = 512, length: int = 50,
     t = np.linspace(0, 1, length, dtype=np.float32)
     labels = rng.integers(0, NUM_CLASSES, (n, length))
     vals = np.zeros((n, length, D), np.float32)
+    # per-(class, channel) phase offsets make the observed D-vector at a
+    # time point a class-specific sinusoid signature — the per-tp
+    # classification task (crectime_attention_activity.py classify_pertp)
+    # is then actually learnable from partial observations (a single
+    # shared channel pattern collides across classes at sin crossings and
+    # caps every model at chance)
+    phases = (2 * np.pi * np.arange(D) / D)[None, :] \
+        + (2 * np.pi * np.arange(NUM_CLASSES) / NUM_CLASSES)[:, None]
     for c in range(NUM_CLASSES):
-        pattern = np.sin(2 * np.pi * (c + 1) * t)[None, :, None]
+        pattern = np.sin(
+            2 * np.pi * (c + 1) * t[:, None] + phases[c][None, :]
+        )[None]                                   # [1, L, D]
         sel = labels == c
         vals += sel[..., None] * (
             pattern + 0.1 * rng.normal(size=(n, length, D))
