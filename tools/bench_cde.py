@@ -25,6 +25,11 @@ import time
 
 import numpy as np
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 
 def bench_one(name, method, B, L, C, H, layers=2, iters=30,
               field="final_tanh"):
