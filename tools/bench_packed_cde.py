@@ -78,12 +78,25 @@ def bench_one(C, H, K, B, L, method, iters, repeats):
                 "sample_steps_per_sec": round(rate, 1),
                 "iqr": [round(float(q1), 1), round(float(q3), 1)]}
 
-    packed = timed(g_packed, tuple(fields))
+    # round-5 fidelity-explicit arms: packed kernel at exact-f32
+    # (library default) AND bf16x3 (production), both vs the vmapped
+    # scan at the library-default HIGHEST precision
+    import os as _os
+
+    _os.environ["SNSDE_FUSED_MATMUL"] = "f32"
+    packed = timed(jax.jit(jax.grad(loss_packed)), tuple(fields))
+    _os.environ["SNSDE_FUSED_MATMUL"] = "bf16x3"
+    packed_x3 = timed(jax.jit(jax.grad(
+        lambda funcs: loss_packed(funcs))), tuple(fields))
+    _os.environ["SNSDE_FUSED_MATMUL"] = "f32"
     scan = timed(g_scan, stacked)
     return {"C": C, "H": H, "K": K, "B": B, "L": L, "method": method,
-            "packed": packed, "scan_vmap": scan,
+            "scan_precision": "highest (library default, r5 pin)",
+            "packed": packed, "packed_x3": packed_x3, "scan_vmap": scan,
             "speedup": round(packed["sample_steps_per_sec"]
-                             / scan["sample_steps_per_sec"], 2)}
+                             / scan["sample_steps_per_sec"], 2),
+            "speedup_x3": round(packed_x3["sample_steps_per_sec"]
+                                / scan["sample_steps_per_sec"], 2)}
 
 
 def main():
