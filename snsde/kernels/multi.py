@@ -49,20 +49,29 @@ MAX_PACKED_LANES = 512
 
 
 def packed_cde_pays(input_channels: int) -> bool:
-    """Measured perf gate for the lane-packed fused CDE paths (round-4
-    v5e crossover sweep, BENCH_PACKED_CDE.json, K=3 vs jax.vmap of the
-    scan cdeint): packed wins 3.2-3.6x at C=5 and 1.62x at C=12, breaks
-    even at C=16 (1.01x — kept fused: same speed at strictly higher
-    operand fidelity than the scan path's platform-default dots), and
-    loses by C=20 (0.94x; 0.44x at C=28, 0.38x at C=35). The one-hot
-    contraction's ~3x FLOPs overhead scales with C for packed members
-    exactly as for single models — packing amortizes the loop and weight
-    traffic, which moves the crossover from 12 to 16 but cannot remove
-    the C-scaling. Gate: C <= SNSDE_FUSED_CDE_PACKED_MAX_C (default 16;
-    0 disables the gate)."""
+    """Measured perf gate for the lane-packed fused CDE paths.
+
+    Round-5 fidelity-matched crossover (both arms exact-f32 operands —
+    the scan arm runs at the library-default HIGHEST precision since the
+    round-5 pin; /tmp/r5/stageC_packed.log, K=3 vs jax.vmap of the scan
+    cdeint): packed wins 2.17x at C=5 and 1.21x at C=12, loses at C=16
+    (0.67x), C=20 (0.63x), C=28 (0.30x) — exact-f32 in-kernel dots
+    (bf16x6 passes) are ~2x the cost of the round-4 bf16x3 arm, which
+    moves the crossover down from 16 to between 12 and 16. In the
+    production bf16x3 regime (SNSDE_FUSED_MATMUL=bf16x3) the round-4
+    crossover stands: 1.01x at C=16, losing by C=20
+    (BENCH_PACKED_CDE.json). Gate: C <= SNSDE_FUSED_CDE_PACKED_MAX_C
+    when set; otherwise regime-aware default — 12 for exact-f32 kernels,
+    16 for bf16x3/bf16 (0 disables the gate)."""
     import os
 
-    max_c = int(os.environ.get("SNSDE_FUSED_CDE_PACKED_MAX_C", "16"))
+    env = os.environ.get("SNSDE_FUSED_CDE_PACKED_MAX_C")
+    if env is not None:
+        max_c = int(env)
+    else:
+        from .fused_em import _mm_mode
+
+        max_c = 16 if _mm_mode() else 12
     return max_c <= 0 or input_channels <= max_c
 
 

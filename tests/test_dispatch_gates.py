@@ -63,11 +63,19 @@ def test_packed_cde_gate_c_threshold(monkeypatch):
     from snsde.kernels.multi import packed_cde_pays
 
     monkeypatch.delenv("SNSDE_FUSED_CDE_PACKED_MAX_C", raising=False)
-    # BENCH_PACKED_CDE.json: 1.62x at C=12, 1.01x at C=16 (kept), 0.94x
-    # at C=20, 0.38-0.44x at C>=28
+    # regime-aware default (round-5 fidelity-matched crossover): 12 for
+    # exact-f32 kernels (1.21x at C=12, 0.67x at C=16), 16 for bf16x3
+    # (BENCH_PACKED_CDE.json: 1.01x at C=16, 0.94x at C=20)
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "f32")
     assert packed_cde_pays(5)
+    assert packed_cde_pays(12)
+    assert not packed_cde_pays(16)
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "bf16x3")
     assert packed_cde_pays(16)
     assert not packed_cde_pays(20)
     assert not packed_cde_pays(35)
     monkeypatch.setenv("SNSDE_FUSED_CDE_PACKED_MAX_C", "0")
     assert packed_cde_pays(35)
+    monkeypatch.setenv("SNSDE_FUSED_CDE_PACKED_MAX_C", "14")
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "f32")
+    assert packed_cde_pays(14) and not packed_cde_pays(15)
