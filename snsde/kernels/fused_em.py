@@ -85,17 +85,24 @@ def _dot(x, w, mm):
     * True ('bf16'): single-pass explicit bf16 operands (fastest, the
       pre-round-4 effective behavior). Accumulation is f32 in all modes.
     """
+    # the bf16-operand dots must pin precision=DEFAULT explicitly: the
+    # round-5 package-level jax_default_matmul_precision="highest" pin
+    # otherwise attaches contract_precision<fp32> to bf16 operands inside
+    # the Mosaic trace, which the TPU matmul lowering rejects
+    # ("Bad lhs type", seen in test_bf16x3_matmul_mode at r5 HEAD)
     if mm == "x3":
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         wh = w.astype(jnp.bfloat16)
         wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
         return d(xh, wh) + d(xh, wl) + d(xl, wh)
     if mm:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
-        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
     return jnp.dot(x, w, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
