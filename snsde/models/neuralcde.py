@@ -33,27 +33,45 @@ __all__ = ["FinalTanh", "SingleHiddenLayer", "GRUODEField", "NeuralCDE",
            "NeuralCDEStream", "cde_solve_dispatch"]
 
 
-def _fused_cde_pays(func):
-    """Measured perf gate for the single-model fused CDE dispatch
-    (round-4 v5e gate sweep, BENCH_GATE.json + BENCH_CDE_X3.json): the
-    kernel's one-hot MXU expand/reduce contraction scales with the input
-    width C, so fused wins at C <= 12 (1.07-1.33x vs scan) and loses by
-    C = 16 (0.78x; C=20 0.69x; C=35 sepsis 0.49x) — dispatch gates at
-    C <= SNSDE_FUSED_CDE_MAX_C (default 12; 0 disables the gate). The
-    GRU-ODE field kind loses at every measured shape (0.88x rk4) and is
-    opt-in via SNSDE_FUSED_GRUODE=1. The lane-PACKED multi-model path
-    (fused_cde_solve_packed; sweeps, vmap routing) is unaffected — it
-    amortizes the contraction across members and wins 1.78x at harness
-    scale."""
+def _fused_cde_pays(func, method="rk4"):
+    """Measured perf gate for the single-model fused CDE dispatch.
+
+    Round-5 fidelity-matched crossover (BENCH_GATE_R5.json — the scan
+    arm runs at the library-default HIGHEST precision since the r5 pin;
+    both fused regimes measured against it): the kernel's one-hot MXU
+    expand/reduce contraction scales with the input width C, and its
+    in-kernel dot cost doubles from bf16x3 to exact-f32 (HIGHEST =
+    bf16x6 passes), so the two regimes gate differently:
+
+      * bf16x3 (production, SNSDE_FUSED_MATMUL=bf16x3): wins through
+        C=16 (c6 1.44x, c12 1.36x, c16 1.07x), even at C=20 (0.98x),
+        loses at C=35 (0.77x) -> MAX_C default 16.
+      * exact-f32 (library default): loses at every measured width
+        (c6 0.93x, c12 0.76x, c20 0.54x) -> no default dispatch; the
+        scan path at HIGHEST is both faster and equally exact.
+
+    SNSDE_FUSED_CDE_MAX_C overrides either default (0 disables the
+    gate, i.e. always fused). The GRU-ODE field kind stays opt-in via
+    SNSDE_FUSED_GRUODE=1. The lane-PACKED multi-model path gates
+    separately (kernels/multi.py:packed_cde_pays)."""
     import os as _os
 
     from ..kernels.fused_cde import _field_kind
+    from ..kernels.fused_em import _mm_mode
 
     kind = _field_kind(func)
     if kind is not None and kind[0] == "gruode":
         return _os.environ.get("SNSDE_FUSED_GRUODE", "0") == "1"
-    max_c = int(_os.environ.get("SNSDE_FUSED_CDE_MAX_C", "12"))
-    return max_c <= 0 or func.input_channels <= max_c
+    env = _os.environ.get("SNSDE_FUSED_CDE_MAX_C")
+    if env is not None:
+        max_c = int(env)
+        return max_c <= 0 or func.input_channels <= max_c
+    if not _mm_mode():
+        # exact-f32 kernels: scan-HIGHEST wins at every rk4 width; the
+        # cheaper euler tableau still clears it at narrow C
+        # (uea_euler C=6: 1.11x) — keep that one dispatch
+        return method == "euler" and func.input_channels <= 6
+    return func.input_channels <= 16
 
 
 def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
@@ -75,7 +93,8 @@ def cde_solve_dispatch(path, func, z0, ts, *, dt, method,
             and hasattr(path, "derivative_grid")):
         from ..kernels.fused_cde import fused_cde_solve, supports_fused_cde
 
-        if supports_fused_cde(func, method) and _fused_cde_pays(func):
+        if supports_fused_cde(func, method) and _fused_cde_pays(
+                func, method):
             return fused_cde_solve(func, path, ts, z0, dt=dt, method=method)
     if getattr(func, "precision_sensitive", False):
         # GRU-ODE NaNs at iter 1 on v5e under the platform-default bf16

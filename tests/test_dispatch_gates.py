@@ -23,11 +23,19 @@ def _field(C, H):
 
 
 def test_cde_gate_c_threshold(monkeypatch):
+    # round-5 fidelity-matched, regime-aware defaults (BENCH_GATE_R5):
+    # bf16x3 wins through C=16; exact-f32 never beats scan-HIGHEST
     monkeypatch.delenv("SNSDE_FUSED_CDE_MAX_C", raising=False)
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "bf16x3")
     assert _fused_cde_pays(_field(6, 32))
-    assert _fused_cde_pays(_field(12, 32))
+    assert _fused_cde_pays(_field(16, 32))
     assert not _fused_cde_pays(_field(20, 32))
     assert not _fused_cde_pays(_field(35, 32))
+    monkeypatch.setenv("SNSDE_FUSED_MATMUL", "f32")
+    assert not _fused_cde_pays(_field(6, 32))
+    assert not _fused_cde_pays(_field(12, 32))
+    monkeypatch.setenv("SNSDE_FUSED_CDE_MAX_C", "12")
+    assert _fused_cde_pays(_field(12, 32))
     monkeypatch.setenv("SNSDE_FUSED_CDE_MAX_C", "0")
     assert _fused_cde_pays(_field(35, 32))
 
