@@ -283,3 +283,46 @@ def test_packed_cde_solve_matches_per_member():
                      method="rk4")
         np.testing.assert_allclose(np.asarray(zs[i]), np.asarray(ref),
                                    atol=1e-6)
+
+
+def test_speech_ensemble_member_hook_scales_final_linear_only():
+    """run_speech_ensemble's member hook must reproduce the reference's
+    100x register_hook on the LAST linear of the readout (weight+bias)
+    and leave everything else untouched
+    (speech_commands-sde.py:33-34)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snsde.fields import DiffusionField
+    from snsde.models.ensemble import SeedEnsemble
+
+    def make_field(k):
+        return DiffusionField.create(k, 4, 8, 8, 1, input_option=4,
+                                     noise_option=17)
+
+    ens = SeedEnsemble.create(jax.random.PRNGKey(0), make_field, 4, 8,
+                              10, 2)
+    member = SeedEnsemble.member_subtree(ens, 0)
+
+    # the hook defined inside run_speech_ensemble (classification.py)
+    def member_hook(g):
+        head = g.readouts[0]
+        head = head.replace(linear2=jax.tree_util.tree_map(
+            lambda x: x * 100.0, head.linear2))
+        return g.replace(readouts=(head,))
+
+    hooked = member_hook(member)
+    np.testing.assert_allclose(
+        np.asarray(hooked.readouts[0].linear2.weight),
+        100.0 * np.asarray(member.readouts[0].linear2.weight))
+    np.testing.assert_allclose(
+        np.asarray(hooked.readouts[0].linear2.bias),
+        100.0 * np.asarray(member.readouts[0].linear2.bias))
+    # the rest of the head and the field are untouched
+    np.testing.assert_array_equal(
+        np.asarray(hooked.readouts[0].linear1.weight),
+        np.asarray(member.readouts[0].linear1.weight))
+    for a, b in zip(jax.tree_util.tree_leaves(hooked.fields[0]),
+                    jax.tree_util.tree_leaves(member.fields[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
