@@ -58,11 +58,13 @@ def packed_cde_pays(input_channels: int) -> bool:
     (0.67x), C=20 (0.63x), C=28 (0.30x) — exact-f32 in-kernel dots
     (bf16x6 passes) are ~2x the cost of the round-4 bf16x3 arm, which
     moves the crossover down from 16 to between 12 and 16. In the
-    production bf16x3 regime (SNSDE_FUSED_MATMUL=bf16x3) the round-4
-    crossover stands: 1.01x at C=16, losing by C=20
-    (BENCH_PACKED_CDE.json). Gate: C <= SNSDE_FUSED_CDE_PACKED_MAX_C
-    when set; otherwise regime-aware default — 12 for exact-f32 kernels,
-    16 for bf16x3/bf16 (0 disables the gate)."""
+    production bf16x3 regime the round-5 fidelity-explicit rerun
+    (BENCH_PACKED_CDE_R5.json) wins further: 3.85x at C=5, 1.99x at
+    C=12, 1.26x at C=16, 1.23x at C=20, losing at C=28 (0.61x) — the
+    round-4 threshold of 16 was pessimistic against the slow scan arm.
+    Gate: C <= SNSDE_FUSED_CDE_PACKED_MAX_C when set; otherwise
+    regime-aware default — 12 for exact-f32 kernels, 20 for bf16x3/bf16
+    (0 disables the gate)."""
     import os
 
     env = os.environ.get("SNSDE_FUSED_CDE_PACKED_MAX_C")
@@ -71,7 +73,7 @@ def packed_cde_pays(input_channels: int) -> bool:
     else:
         from .fused_em import _mm_mode
 
-        max_c = 16 if _mm_mode() else 12
+        max_c = 20 if _mm_mode() else 12
     return max_c <= 0 or input_channels <= max_c
 
 

@@ -80,7 +80,8 @@ def test_packed_cde_gate_c_threshold(monkeypatch):
     assert not packed_cde_pays(16)
     monkeypatch.setenv("SNSDE_FUSED_MATMUL", "bf16x3")
     assert packed_cde_pays(16)
-    assert not packed_cde_pays(20)
+    assert packed_cde_pays(20)       # r5 x3 arm: 1.23x at C=20
+    assert not packed_cde_pays(28)
     assert not packed_cde_pays(35)
     monkeypatch.setenv("SNSDE_FUSED_CDE_PACKED_MAX_C", "0")
     assert packed_cde_pays(35)
