@@ -27,7 +27,19 @@ def synthetic_person_activity(n: int = 512, length: int = 50,
     rng = np.random.default_rng(seed)
     D = NUM_TAGS * COORDS
     t = np.linspace(0, 1, length, dtype=np.float32)
-    labels = rng.integers(0, NUM_CLASSES, (n, length))
+    # piecewise-constant label segments (5-15 tps), matching the real
+    # UCI data where activities persist over spans. iid per-tp labels
+    # make the task unlearnable for the mTAN pipeline: its attention +
+    # bidirectional GRU smooth the latent along time, and averaging over
+    # neighbours with unrelated classes pins every model at chance
+    # (measured: flat ln(7) loss over 30 epochs pre-fix)
+    labels = np.zeros((n, length), np.int64)
+    for i in range(n):
+        pos = 0
+        while pos < length:
+            seg = int(rng.integers(5, 16))
+            labels[i, pos:pos + seg] = rng.integers(0, NUM_CLASSES)
+            pos += seg
     vals = np.zeros((n, length, D), np.float32)
     # per-(class, channel) phase offsets make the observed D-vector at a
     # time point a class-specific sinusoid signature — the per-tp

@@ -211,12 +211,17 @@ def run_activity(cfg: ActivityConfig = ActivityConfig(), n: int = 512,
         perm, masks, nb = padded_index_grid(host_rng.permutation(n_train),
                                             cfg.batch_size)
         key, ke = jax.random.split(key)
-        model, opt_state, _ = epoch_step(model, opt_state, dev["train"],
-                                         perm, masks,
-                                         jax.random.split(ke, nb))
+        model, opt_state, losses = epoch_step(model, opt_state,
+                                              dev["train"], perm, masks,
+                                              jax.random.split(ke, nb))
         key, k1, k2 = jax.random.split(key, 3)
         val_loss, val_acc = evaluate(model, "val", k1)
-        rec = {"epoch": epoch, "val_loss": val_loss, "val_acc": val_acc}
+        # "train_loss" feeds the trajectory pins' non-finite/spike/climb
+        # checks (train/pins.py check_history) — without it only the
+        # accuracy floor is live
+        rec = {"epoch": epoch,
+               "train_loss": float(np.asarray(losses).mean()),
+               "val_loss": val_loss, "val_acc": val_acc}
         if val_loss < best["val_loss"]:
             test_loss, test_acc = evaluate(model, "test", k2)
             best = {"val_loss": val_loss, "val_acc": val_acc,

@@ -375,8 +375,13 @@ def fit_classifier(
             grads = _apply_hook(grads)
             p, rest = partition(new_m)
             updates, os2 = tx.update(grads, os_, p)
+            # grad-norm reduction only when the diagnostic is requested —
+            # it's a full reduction over every parameter gradient and, as
+            # a jit output, XLA cannot DCE it
+            gn = (optax.global_norm(grads) if cfg.track_norms
+                  else jnp.zeros(()))
             return (combine(optax.apply_updates(p, updates), rest), os2), \
-                (loss, optax.global_norm(grads))
+                (loss, gn)
 
         (m, opt_state), (losses, gnorms) = jax.lax.scan(
             body, (m, opt_state), (perm, masks, keys)

@@ -27,7 +27,10 @@ __all__ = ["PinSpec", "check_history", "assert_pins", "FLAGSHIP_PINS"]
 class PinSpec:
     """Trajectory-health thresholds for one flagship."""
     metric: str = "accuracy"        # key inside history[i]["val"]
-    floor: float = 0.0              # min acceptable best-val metric
+    mode: str = "max"               # "max": higher is better (accuracy/
+                                    # auroc); "min": lower is better (mse)
+    floor: float = 0.0              # max-mode: min acceptable best metric
+    ceiling: float = math.inf       # min-mode: max acceptable best metric
     max_spike: float = 3.0          # max allowed epoch/epoch train-loss ratio
     # sustained-climb guard: max cumulative train-loss ratio over any
     # `climb_window`-epoch window. The round-4 speech divergence climbs
@@ -47,12 +50,16 @@ FLAGSHIP_PINS: Dict[str, PinSpec] = {
     "sepsis": PinSpec(metric="auroc", floor=0.95),
     "speech": PinSpec(metric="accuracy", floor=0.40),
     # mse/elbo trajectories: KL annealing and plateau-LR kinks make modest
-    # climbs normal; only catastrophic blow-ups should trip
-    "interpolation": PinSpec(metric="mse", floor=-math.inf, max_spike=5.0,
-                             max_climb=5.0, warmup=10),
-    "mujoco": PinSpec(metric="mse", floor=-math.inf, max_spike=5.0,
-                      max_climb=5.0),
-    "activity": PinSpec(metric="accuracy", floor=0.14),
+    # climbs normal; only catastrophic blow-ups should trip. Ceilings sit
+    # ~2x above healthy (interp 0.0692±0.0006, mujoco 0.0240±0.0028 —
+    # RESULTS_*_r5.json) but far below an untrained/diverged run.
+    "interpolation": PinSpec(metric="mse", mode="min", ceiling=0.15,
+                             max_spike=5.0, max_climb=5.0, warmup=10),
+    "mujoco": PinSpec(metric="mse", mode="min", ceiling=0.10,
+                      max_spike=5.0, max_climb=5.0),
+    # healthy flagship run reaches val 0.60 (RESULTS_activity.json);
+    # chance is 1/7=0.143 — 0.35 splits them with wide margin
+    "activity": PinSpec(metric="accuracy", floor=0.35),
 }
 
 
@@ -123,11 +130,20 @@ def check_history(history: List[Dict], spec: PinSpec) -> Dict:
 
     vals = [_val_metric(e) for e in history]
     vals = [v for v in vals if v is not None and math.isfinite(v)]
-    best = max(vals) if vals else float("-inf")
-    if best < spec.floor:
-        violations.append(
-            f"best val {spec.metric} {best:.4f} below floor {spec.floor}"
-        )
+    if spec.mode == "min":
+        best = min(vals) if vals else float("inf")
+        if best > spec.ceiling:
+            violations.append(
+                f"best val {spec.metric} {best:.4f} above ceiling "
+                f"{spec.ceiling}"
+            )
+    else:
+        best = max(vals) if vals else float("-inf")
+        if best < spec.floor:
+            violations.append(
+                f"best val {spec.metric} {best:.4f} below floor "
+                f"{spec.floor}"
+            )
     return {"ok": not violations, "violations": violations,
             "best_metric": best}
 

@@ -7,14 +7,20 @@ from snsde.harness.activity import ActivityConfig, run_activity
 
 
 def test_activity_end_to_end_learns():
-    cfg = ActivityConfig(max_epochs=8, batch_size=64, embed_time=32,
-                         rec_hidden=16, latent_dim=8, k_iwae=2,
-                         verbose=False)
-    res = run_activity(cfg, n=160)
-    # synthetic labels are sinusoid-coded; a few epochs beat chance (1/7)
-    assert res.test_accuracy > 1.0 / 7.0
+    # flagship widths (latent 32 / rec 32 / embed 128) learn fastest;
+    # batch 32 gives 7 optimizer steps/epoch at n=256. Pre-fix (iid
+    # per-tp labels) this config stays at chance 1/7 forever — the
+    # piecewise-constant label segments make it reach ~0.25-0.31 val
+    # accuracy by epoch 15, so the margin below is non-vacuous.
+    cfg = ActivityConfig(max_epochs=15, batch_size=32, verbose=False)
+    res = run_activity(cfg, n=256)
+    assert res.val_accuracy > 0.20          # chance is 0.143
     assert np.isfinite(res.test_loss)
     assert res.parameters > 0
+    # the train CE must actually move off the ln(7)=1.946 plateau
+    first = res.history[0]["train_loss"]
+    last = res.history[-1]["train_loss"]
+    assert last < first - 0.03
     # best-val-loss selection: the recorded val loss is the history min
     assert res.val_loss == min(h["val_loss"] for h in res.history)
 

@@ -72,8 +72,8 @@ def test_packed_cde_gate_c_threshold(monkeypatch):
 
     monkeypatch.delenv("SNSDE_FUSED_CDE_PACKED_MAX_C", raising=False)
     # regime-aware default (round-5 fidelity-matched crossover): 12 for
-    # exact-f32 kernels (1.21x at C=12, 0.67x at C=16), 16 for bf16x3
-    # (BENCH_PACKED_CDE.json: 1.01x at C=16, 0.94x at C=20)
+    # exact-f32 kernels (1.21x at C=12, 0.67x at C=16), 20 for bf16x3
+    # (BENCH_PACKED_CDE_R5.json x3 arm: 1.23x at C=20, loses by C=28)
     monkeypatch.setenv("SNSDE_FUSED_MATMUL", "f32")
     assert packed_cde_pays(5)
     assert packed_cde_pays(12)

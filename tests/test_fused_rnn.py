@@ -307,11 +307,27 @@ def test_time_lstm_dispatch_parity(kind, monkeypatch):
         return jnp.sum(out[:, -1] ** 2)
 
     l_scan, g_scan = filter_value_and_grad(loss)(model)
+    # force BOTH dispatch gates open (opt-in SNSDE_FUSED_TIME_RNN + the
+    # H>=128 perf gate) and assert the kernel really ran — without this
+    # the "fused" arm silently takes the scan path and the test compares
+    # scan vs scan
+    import snsde.kernels.fused_rnn as fr
+    calls = []
+    real_fused = fr.fused_lstm_scan
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real_fused(*a, **k)
+
+    monkeypatch.setenv("SNSDE_FUSED_TIME_RNN", "1")
+    monkeypatch.setenv("SNSDE_FUSED_RNN_MIN_H", "0")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fr, "fused_lstm_scan", spy)
     try:
         l_fused, g_fused = filter_value_and_grad(loss)(model)
     finally:
         monkeypatch.undo()
+    assert len(calls) == 2   # one fused dispatch per stacked layer
     np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
     compared = 0
     for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),
@@ -341,11 +357,24 @@ def test_odelstm_dispatch_parity(monkeypatch):
         return jnp.sum(m(x, ts)[:, -1] ** 2)
 
     l_scan, g_scan = filter_value_and_grad(loss)(model)
+    # force the H>=128 perf gate open and assert the kernel really ran
+    # (H=6 would otherwise fall back to scan in both arms)
+    import snsde.kernels.fused_rnn as fr
+    calls = []
+    real_fused = fr.fused_lstm_scan
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real_fused(*a, **k)
+
+    monkeypatch.setenv("SNSDE_FUSED_RNN_MIN_H", "0")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fr, "fused_lstm_scan", spy)
     try:
         l_fused, g_fused = filter_value_and_grad(loss)(model)
     finally:
         monkeypatch.undo()
+    assert len(calls) == 1
     np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
     compared = 0
     for a, b in zip(jax.tree_util.tree_leaves(partition(g_fused)[0]),

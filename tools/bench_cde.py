@@ -197,11 +197,15 @@ def main():
 
     # this tool measures KERNEL vs scan, so the fused arm forces the
     # measured dispatch-policy gates open (the gates themselves were set
-    # FROM these measurements); explicit user env still wins
+    # FROM these measurements); explicit user env still wins for the
+    # GATES. SNSDE_FUSED_MATMUL is NOT user-overridable here: each arm
+    # pins its own regime (f32 / bf16x3) by design — to bench the plain
+    # single-pass bf16 regime, call bench_one from Python instead.
     os.environ.setdefault("SNSDE_FUSED_CDE_MAX_C", "0")
     os.environ.setdefault("SNSDE_FUSED_GRUODE", "1")
     os.environ.setdefault("SNSDE_FUSED_LATENT", "1")
     os.environ.setdefault("SNSDE_FUSED_RNN_MIN_H", "0")
+    os.environ.setdefault("SNSDE_FUSED_TIME_RNN", "1")
 
     records = {}
     if os.path.exists(args.out):

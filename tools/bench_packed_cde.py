@@ -57,7 +57,6 @@ def bench_one(C, H, K, B, L, method, iters, repeats):
         return jnp.mean(zs[:, -1] ** 2)
 
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fields)
-    g_packed = jax.jit(jax.grad(loss_packed))
     g_scan = jax.jit(jax.grad(loss_scan))
 
     def timed(fn, arg):
@@ -80,16 +79,26 @@ def bench_one(C, H, K, B, L, method, iters, repeats):
 
     # round-5 fidelity-explicit arms: packed kernel at exact-f32
     # (library default) AND bf16x3 (production), both vs the vmapped
-    # scan at the library-default HIGHEST precision
+    # scan at the library-default HIGHEST precision. Fresh jit wrappers
+    # per arm: the matmul regime is baked in at trace time, so reusing
+    # one jitted fn across env changes would silently reuse the first
+    # arm's kernel. The caller's regime is restored afterwards.
     import os as _os
 
-    _os.environ["SNSDE_FUSED_MATMUL"] = "f32"
-    packed = timed(jax.jit(jax.grad(loss_packed)), tuple(fields))
-    _os.environ["SNSDE_FUSED_MATMUL"] = "bf16x3"
-    packed_x3 = timed(jax.jit(jax.grad(
-        lambda funcs: loss_packed(funcs))), tuple(fields))
-    _os.environ["SNSDE_FUSED_MATMUL"] = "f32"
-    scan = timed(g_scan, stacked)
+    prev_mm = _os.environ.get("SNSDE_FUSED_MATMUL")
+    try:
+        _os.environ["SNSDE_FUSED_MATMUL"] = "f32"
+        packed = timed(jax.jit(jax.grad(loss_packed)), tuple(fields))
+        _os.environ["SNSDE_FUSED_MATMUL"] = "bf16x3"
+        packed_x3 = timed(jax.jit(jax.grad(
+            lambda funcs: loss_packed(funcs))), tuple(fields))
+        _os.environ["SNSDE_FUSED_MATMUL"] = "f32"
+        scan = timed(g_scan, stacked)
+    finally:
+        if prev_mm is None:
+            _os.environ.pop("SNSDE_FUSED_MATMUL", None)
+        else:
+            _os.environ["SNSDE_FUSED_MATMUL"] = prev_mm
     return {"C": C, "H": H, "K": K, "B": B, "L": L, "method": method,
             "scan_precision": "highest (library default, r5 pin)",
             "packed": packed, "packed_x3": packed_x3, "scan_vmap": scan,

@@ -20,8 +20,11 @@ sys.path.insert(0, str(REPO))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=512)
-    ap.add_argument("--epochs", type=int, default=30)
+    # ~1200 optimizer steps: the VAE-reparameterization noise plateau
+    # lasts ~60-200 steps before the CE breaks out of ln(7); 30 epochs
+    # at n=512 (90 steps) never escaped it
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--k-iwae", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-3)
