@@ -71,3 +71,36 @@ def test_pins_allow_recovered_transient_bump():
             0.7, 0.6, 0.8, 0.9, 0.95, 0.97]
     res = check_history(_hist(losses, accs), FLAGSHIP_PINS["speech"])
     assert res["ok"], res["violations"]
+
+
+def test_pins_min_mode_ceiling():
+    """mse flagships (mode='min'): best = min of vals, and the quality
+    bound is a ceiling — an untrained/diverged run whose best mse never
+    gets below it must fail, a healthy one must pass and record the
+    MINIMUM (not epoch-0) as best_metric."""
+    hist = [{"epoch": i, "train": 0.5 - 0.04 * i, "val": 0.5 - 0.04 * i}
+            for i in range(10)]
+    spec = PinSpec(metric="mse", mode="min", ceiling=0.2)
+    res = check_history(hist, spec)
+    assert res["ok"], res["violations"]
+    assert res["best_metric"] == pytest.approx(0.5 - 0.04 * 9)
+
+    flat = [{"epoch": i, "train": 0.5, "val": 0.5} for i in range(10)]
+    res = check_history(flat, spec)
+    assert not res["ok"]
+    assert any("ceiling" in v for v in res["violations"])
+
+
+def test_pins_mujoco_interpolation_ceilings_live():
+    """The shipped mse flagships carry real ceilings: the healthy r5
+    trajectories pass, an untrained-level one fails."""
+    for name, healthy, bad in (("mujoco", 0.024, 0.5),
+                               ("interpolation", 0.069, 0.9)):
+        spec = FLAGSHIP_PINS[name]
+        good = [{"epoch": i, "train": healthy * (3 - 0.02 * i),
+                 "val": healthy * (3 - 0.02 * i)} for i in range(101)]
+        res = check_history(good, spec)
+        assert res["ok"], (name, res["violations"])
+        stuck = [{"epoch": i, "train": bad, "val": bad} for i in range(20)]
+        res = check_history(stuck, spec)
+        assert not res["ok"], name
