@@ -16,6 +16,8 @@ Formats exercised:
     (benchmark_interpolation/physionet.py:43-)
   * SpeechCommands: speech_commands_v0.02.tar.gz of 16 kHz 16-bit wavs
     under keyword dirs (datasets/speech_commands.py)
+  * PersonActivity: ConfLongDemo_JSI.txt of seq,tag,ts,date,x,y,z,label
+    records (benchmark_interpolation/person_activity.py:123-190)
 """
 
 import io
@@ -247,3 +249,56 @@ def test_speech_commands_tar_end_to_end(tmp_path):
         [WORDS.index("yes"), WORDS.index("yes"), WORDS.index("no"),
          WORDS.index("go")])
     assert np.isfinite(X).all()
+
+
+def test_person_activity_raw_file_end_to_end(tmp_path):
+    from snsde.data.person_activity import COORDS, get_data
+
+    # real ConfLongDemo_JSI.txt layout: seq,tag,timestamp,date,x,y,z,label
+    lines = [
+        # sequence A1: tags ANKLE_LEFT (slice 0:3) and CHEST (slice 6:9),
+        # activity changes walking -> falling mid-sequence
+        "A01,010-000-024-033,1000,27.05.2009 14:03:25:847,"
+        "4.06,1.89,0.51,walking",
+        "A01,020-000-033-111,2000,27.05.2009 14:03:26:120,"
+        "3.87,1.62,1.23,walking",
+        "A01,010-000-024-033,3000,27.05.2009 14:03:26:397,"
+        "4.12,1.90,0.35,falling",
+        # unknown tag id -> ignored
+        "A01,099-000-000-000,2500,27.05.2009 14:03:26:200,"
+        "0.0,0.0,0.0,walking",
+        # malformed short line -> ignored
+        "A01,010-000-024-033,2600",
+        # sequence B1: ANKLE_RIGHT (slice 3:6) only
+        "B01,010-000-030-096,500,27.05.2009 15:00:00:000,"
+        "3.32,1.10,0.93,sitting",
+        "B01,010-000-030-096,600,27.05.2009 15:00:01:000,"
+        "3.30,1.12,0.95,sitting",
+    ]
+    (tmp_path / "ConfLongDemo_JSI.txt").write_text("\n".join(lines) + "\n")
+
+    vals, mask, tp, labels = get_data(data_dir=str(tmp_path),
+                                      synthetic_fallback=False)
+    N, L, D = vals.shape
+    assert (N, D) == (2, 4 * COORDS)
+    assert mask.shape == vals.shape
+    assert tp.shape == (2, L) and labels.shape == (2, L)
+
+    # A1: span 1000..3000 -> buckets 0, (length-1)//2, length-1
+    mid = int(1000 / 2000 * (L - 1))
+    assert mask[0, 0, 0:3].all()                 # ANKLE_LEFT at t0
+    assert mask[0, mid, 6:9].all()               # CHEST mid-sequence
+    assert mask[0, L - 1, 0:3].all()
+    assert mask[0].sum() == 9                    # unknown tag dropped
+    np.testing.assert_allclose(vals[0, 0, 0:3], [4.06, 1.89, 0.51])
+    # first-seen activity order: walking=0, falling=1, sitting=2
+    assert labels[0, 0] == 0 and labels[0, L - 1] == 1
+    # B1: ANKLE_RIGHT slice only, constant activity
+    assert mask[1, :, 3:6].sum() == 6 and mask[1].sum() == 6
+    assert labels[1, 0] == 2
+    assert np.isfinite(vals).all()
+    np.testing.assert_allclose(tp[0], np.linspace(0, 1, L), atol=1e-6)
+
+    # feeds the activity harness's data= path shape contract
+    x_all = np.concatenate([vals, mask], axis=-1)
+    assert x_all.shape == (2, L, 2 * D)
