@@ -25,6 +25,19 @@ def test_activity_end_to_end_learns():
     assert res.val_loss == min(h["val_loss"] for h in res.history)
 
 
+def test_activity_warmup_changes_early_dynamics():
+    # warmup_epochs wires a linear LR schedule into Adam; with warmup
+    # spanning the whole 2-epoch run, the first steps take much smaller
+    # updates than constant-lr, so the trajectories must diverge (and
+    # stay finite). Guards the optimizer wiring, not a quality claim.
+    base = dict(max_epochs=2, batch_size=64, embed_time=32,
+                rec_hidden=8, latent_dim=4, k_iwae=1, verbose=False)
+    r0 = run_activity(ActivityConfig(**base), n=96)
+    r1 = run_activity(ActivityConfig(warmup_epochs=2, **base), n=96)
+    assert r0.val_loss != r1.val_loss
+    assert np.isfinite(r1.test_loss) and np.isfinite(r1.val_loss)
+
+
 def test_activity_deterministic_given_seed():
     cfg = ActivityConfig(max_epochs=2, batch_size=64, embed_time=32,
                          rec_hidden=8, latent_dim=4, k_iwae=1,

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--k-iwae", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup-epochs", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="RESULTS_activity.json")
@@ -40,6 +41,7 @@ def main():
 
     cfg = ActivityConfig(max_epochs=args.epochs, batch_size=args.batch,
                          k_iwae=args.k_iwae, lr=args.lr,
+                         warmup_epochs=args.warmup_epochs,
                          seed=args.seed)
     t0 = time.time()
     res = run_activity(cfg, n=args.n)
@@ -48,7 +50,7 @@ def main():
         "enc": "mtan_rnn", "latent_dim": cfg.latent_dim,
         "rec_hidden": cfg.rec_hidden, "k_iwae": cfg.k_iwae,
         "n": args.n, "epochs": args.epochs, "seed": args.seed,
-        "lr": args.lr,
+        "lr": args.lr, "warmup_epochs": args.warmup_epochs,
         "test_accuracy_pertp": round(res.test_accuracy, 4),
         "test_loss": round(res.test_loss, 4),
         "val_accuracy_pertp": round(res.val_accuracy, 4),
